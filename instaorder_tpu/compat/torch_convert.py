@@ -1,0 +1,105 @@
+"""PyTorch checkpoint -> JAX pytree weight conversion.
+
+The reference ships 14 released `.pth.tar` checkpoints plus the MiDaS
+`model-f6b98070.pt` (reference README.md:53-67, midas/base_model.py:4-15).
+This module maps their state_dict names onto our functional pytrees:
+
+  torch OIHW conv weight      -> HWIO  (transpose 2,3,1,0)
+  torch (out, in) linear      -> (in, out) transpose
+  bn {weight,bias,running_*}  -> params {scale,bias} / stats {mean,var}
+
+Checkpoint dicts are `{step, state_dict, optimizer}` with a `module.`
+prefix from the reference's DistModule wrapper (single_stage_model.py:66-72).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(t):
+    # torch tensor or ndarray -> numpy without importing torch here
+    if hasattr(t, 'detach'):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def conv_w(t):
+    return jnp.asarray(_np(t).transpose(2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def linear_w(t):
+    return jnp.asarray(_np(t).T)
+
+
+def strip_prefix(sd: Dict, prefix: str = 'module.') -> Dict:
+    return {(k[len(prefix):] if k.startswith(prefix) else k): v
+            for k, v in sd.items()}
+
+
+def _bn(sd, name):
+    params = {'scale': jnp.asarray(_np(sd[f'{name}.weight'])),
+              'bias': jnp.asarray(_np(sd[f'{name}.bias']))}
+    stats = {'mean': jnp.asarray(_np(sd[f'{name}.running_mean'])),
+             'var': jnp.asarray(_np(sd[f'{name}.running_var']))}
+    return params, stats
+
+
+def resnet_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
+    """torch resnet_cls-style state_dict -> (params, stats) for
+    models/resnet.apply. `cfg` is the static cfg from resnet.init.
+    Accepts either 3- or 5-channel conv1 (shape taken from the ckpt).
+    Handles single fc, dual fc_occ/fc_depth heads, and headless dicts.
+    """
+    sd = strip_prefix(sd)
+    p: Dict = {}
+    s: Dict = {}
+    p['conv1'] = {'w': conv_w(sd['conv1.weight'])}
+    p['bn1'], s['bn1'] = _bn(sd, 'bn1')
+    block = cfg['block']
+    for li, blocks in enumerate(cfg['layers']):
+        stage_p, stage_s = [], []
+        for bi in range(blocks):
+            pre = f'layer{li + 1}.{bi}'
+            bp: Dict = {}
+            bs: Dict = {}
+            n_convs = 3 if block == 'bottleneck' else 2
+            for ci in range(1, n_convs + 1):
+                bp[f'conv{ci}'] = {'w': conv_w(sd[f'{pre}.conv{ci}.weight'])}
+                bp[f'bn{ci}'], bs[f'bn{ci}'] = _bn(sd, f'{pre}.bn{ci}')
+            if f'{pre}.downsample.0.weight' in sd:
+                bp['down_conv'] = {'w': conv_w(sd[f'{pre}.downsample.0.weight'])}
+                bp['down_bn'], bs['down_bn'] = _bn(sd, f'{pre}.downsample.1')
+            stage_p.append(bp)
+            stage_s.append(bs)
+        p[f'layer{li + 1}'] = stage_p
+        s[f'layer{li + 1}'] = stage_s
+    for fc in ('fc', 'fc_occ', 'fc_depth'):
+        if f'{fc}.weight' in sd:
+            p[fc] = {'w': linear_w(sd[f'{fc}.weight']),
+                     'b': jnp.asarray(_np(sd[f'{fc}.bias']))}
+    return p, s
+
+
+def convert_checkpoint(path, cfg, family: str = 'resnet'):
+    """Load a reference `.pth.tar` and convert. Returns
+    (params, stats, step). Requires torch (CPU) at call time only.
+    """
+    import torch
+    blob = torch.load(path, map_location='cpu')
+    step = blob.get('step', 0) if isinstance(blob, dict) else 0
+    sd = blob['state_dict'] if isinstance(blob, dict) and 'state_dict' in blob else blob
+    if family == 'resnet':
+        params, stats = resnet_from_torch_state_dict(sd, cfg)
+    elif family == 'unet':
+        from .torch_convert_unet import unet_from_torch_state_dict
+        params, stats = unet_from_torch_state_dict(sd, cfg)
+    elif family == 'midas':
+        from .torch_convert_midas import midas_from_torch_state_dict
+        params, stats = midas_from_torch_state_dict(sd, cfg)
+    else:
+        raise ValueError(family)
+    return params, stats, step

@@ -1,0 +1,193 @@
+"""ResNet / ResNeXt / WideResNet classifier family, TPU-native.
+
+Capability parity with the reference's `models/backbone/resnet_cls.py`
+(torchvision-style ResNet with two InstaOrder extensions, resnet_cls.py:121,
+153-158):
+  * configurable `in_channels` (5 = mask1 + mask2 + RGB)
+  * `num_classes` may be a list -> two FC heads (fc_occ, fc_depth)
+
+and with `models/backbone/resnet.py` (headless feature-extractor variant
+used by UNetResNet / the InstaDepthNet mask branches) via `features=True`
+apply mode, which returns the post-stage feature maps.
+
+Everything is NHWC and functional: `init` builds the param/stat pytrees,
+`apply` is a pure function suitable for jit/pjit. The stage layout is
+data-driven from ARCHS, not an object graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn as cnn
+
+# arch name -> (block, layers, groups, width_per_group)
+ARCHS = {
+    'resnet18': ('basic', (2, 2, 2, 2), 1, 64),
+    'resnet34': ('basic', (3, 4, 6, 3), 1, 64),
+    'resnet50': ('bottleneck', (3, 4, 6, 3), 1, 64),
+    'resnet101': ('bottleneck', (3, 4, 23, 3), 1, 64),
+    'resnet152': ('bottleneck', (3, 8, 36, 3), 1, 64),
+    'resnext50_32x4d': ('bottleneck', (3, 4, 6, 3), 32, 4),
+    'resnext101_32x8d': ('bottleneck', (3, 4, 23, 3), 32, 8),
+    'wide_resnet50_2': ('bottleneck', (3, 4, 6, 3), 1, 128),
+    'wide_resnet101_2': ('bottleneck', (3, 4, 23, 3), 1, 128),
+}
+
+_EXPANSION = {'basic': 1, 'bottleneck': 4}
+
+
+def _block_init(key, block, cin, planes, stride, groups, base_width,
+                dilation, init, gain):
+    """Parameters for one residual block (+ optional downsample)."""
+    exp = _EXPANSION[block]
+    ks = cnn.split_keys(key, 8)
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    if block == 'bottleneck':
+        width = int(planes * (base_width / 64.0)) * groups
+        p['conv1'] = cnn.conv_init(ks[0], 1, 1, cin, width, init=init, gain=gain)
+        p['bn1'], s['bn1'] = cnn.bn_init(width)
+        p['conv2'] = cnn.conv_init(ks[1], 3, 3, width, width, groups=groups,
+                                   init=init, gain=gain)
+        p['bn2'], s['bn2'] = cnn.bn_init(width)
+        p['conv3'] = cnn.conv_init(ks[2], 1, 1, width, planes * exp,
+                                   init=init, gain=gain)
+        p['bn3'], s['bn3'] = cnn.bn_init(planes * exp)
+    else:
+        p['conv1'] = cnn.conv_init(ks[0], 3, 3, cin, planes, init=init, gain=gain)
+        p['bn1'], s['bn1'] = cnn.bn_init(planes)
+        p['conv2'] = cnn.conv_init(ks[1], 3, 3, planes, planes, init=init, gain=gain)
+        p['bn2'], s['bn2'] = cnn.bn_init(planes)
+    if stride != 1 or cin != planes * exp:
+        p['down_conv'] = cnn.conv_init(ks[3], 1, 1, cin, planes * exp,
+                                       init=init, gain=gain)
+        p['down_bn'], s['down_bn'] = cnn.bn_init(planes * exp)
+    return p, s
+
+
+def _block_apply(p, s, x, block, stride, groups, dilation, train):
+    new_s = {}
+    identity = x
+    if block == 'bottleneck':
+        out = cnn.conv2d(p['conv1'], x)
+        out, new_s['bn1'] = cnn.batch_norm(p['bn1'], s['bn1'], out, train)
+        out = jax.nn.relu(out)
+        out = cnn.conv2d(p['conv2'], out, stride=stride, padding=dilation,
+                         groups=groups, dilation=dilation)
+        out, new_s['bn2'] = cnn.batch_norm(p['bn2'], s['bn2'], out, train)
+        out = jax.nn.relu(out)
+        out = cnn.conv2d(p['conv3'], out)
+        out, new_s['bn3'] = cnn.batch_norm(p['bn3'], s['bn3'], out, train)
+    else:
+        out = cnn.conv2d(p['conv1'], x, stride=stride, padding=1)
+        out, new_s['bn1'] = cnn.batch_norm(p['bn1'], s['bn1'], out, train)
+        out = jax.nn.relu(out)
+        out = cnn.conv2d(p['conv2'], out, padding=1)
+        out, new_s['bn2'] = cnn.batch_norm(p['bn2'], s['bn2'], out, train)
+    if 'down_conv' in p:
+        identity = cnn.conv2d(p['down_conv'], x, stride=stride)
+        identity, new_s['down_bn'] = cnn.batch_norm(
+            p['down_bn'], s['down_bn'], identity, train)
+    return jax.nn.relu(out + identity), new_s
+
+
+def init(key, arch='resnet50', in_channels=3, num_classes=1000,
+         weight_init='kaiming_out', gain=0.02, with_head=True,
+         layers_override=None):
+    """Build (params, stats, static_cfg) for a ResNet classifier.
+
+    weight_init: 'kaiming_out' (torchvision constructor default) or
+    'xavier' with gain (the reference applies init_weights(..., 'xavier')
+    with gain 0.02 on top for scratch training, common_utils.py:35-65 +
+    single_stage_model.py:25 — pass weight_init='xavier').
+    """
+    block, layers, groups, base_width = ARCHS[arch]
+    if layers_override is not None:
+        layers = tuple(layers_override)
+    exp = _EXPANSION[block]
+    keys = iter(cnn.split_keys(key, 4 + sum(layers) + 2))
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p['conv1'] = cnn.conv_init(next(keys), 7, 7, in_channels, 64,
+                               init=weight_init, gain=gain)
+    p['bn1'], s['bn1'] = cnn.bn_init(64)
+    cin = 64
+    for li, (planes, blocks) in enumerate(zip((64, 128, 256, 512), layers)):
+        stage_p, stage_s = [], []
+        for bi in range(blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            bp, bs = _block_init(next(keys), block, cin, planes, stride,
+                                 groups, base_width, 1, weight_init, gain)
+            cin = planes * exp
+            stage_p.append(bp)
+            stage_s.append(bs)
+        p[f'layer{li + 1}'] = stage_p
+        s[f'layer{li + 1}'] = stage_s
+    feat_dim = 512 * exp
+    if with_head:
+        if isinstance(num_classes, (list, tuple)):
+            p['fc_occ'] = cnn.linear_init(next(keys), feat_dim, num_classes[0],
+                                          init=weight_init if weight_init == 'xavier' else 'torch_default',
+                                          gain=gain)
+            p['fc_depth'] = cnn.linear_init(next(keys), feat_dim, num_classes[1],
+                                            init=weight_init if weight_init == 'xavier' else 'torch_default',
+                                            gain=gain)
+        else:
+            p['fc'] = cnn.linear_init(next(keys), feat_dim, num_classes,
+                                      init=weight_init if weight_init == 'xavier' else 'torch_default',
+                                      gain=gain)
+    cfg = {'arch': arch, 'block': block, 'layers': layers, 'groups': groups,
+           'base_width': base_width, 'feat_dim': feat_dim,
+           'dual_head': isinstance(num_classes, (list, tuple))}
+    return p, s, cfg
+
+
+def apply(params, stats, cfg, x, train=False, features=False):
+    """Forward. x: (N, H, W, C).
+
+    Returns (out, new_stats). out is logits (or an (occ, depth) tuple for
+    dual heads); with features=True, out is a dict of stage outputs
+    {stem, layer1..4, pooled} — the headless `models/backbone/resnet.py`
+    behavior plus what the MiDaS fusion branches consume.
+    """
+    block = cfg['block']
+    groups = cfg['groups']
+    new_stats: Dict[str, Any] = {}
+    out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
+    out, new_stats['bn1'] = cnn.batch_norm(params['bn1'], stats['bn1'], out,
+                                           train)
+    out = jax.nn.relu(out)
+    out = cnn.max_pool(out, 3, 2, 1)
+    feats = {'stem': out}
+    for li in range(4):
+        name = f'layer{li + 1}'
+        stage_new = []
+        for bi, (bp, bs) in enumerate(zip(params[name], stats[name])):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            out, bns = _block_apply(bp, bs, out, block, stride, groups, 1,
+                                    train)
+            stage_new.append(bns)
+        new_stats[name] = stage_new
+        feats[name] = out
+    pooled = cnn.avg_pool_global(out)
+    feats['pooled'] = pooled
+    if features:
+        return feats, new_stats
+    if cfg['dual_head']:
+        occ = cnn.linear(params['fc_occ'], pooled)
+        depth = cnn.linear(params['fc_depth'], pooled)
+        return (occ, depth), new_stats
+    return cnn.linear(params['fc'], pooled), new_stats
+
+
+def make(arch='resnet50', **kw):
+    """Convenience: returns (init_fn, apply_fn) closed over arch."""
+    def init_fn(key, **ikw):
+        merged = {**kw, **ikw}
+        return init(key, arch=arch, **merged)
+    return init_fn, functools.partial(apply)
