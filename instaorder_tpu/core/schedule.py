@@ -55,39 +55,28 @@ def step_lr(base_lr: float,
 
 
 def step_lr_jnp(base_lr, milestones, lr_mults, warmup_lr=(), warmup_steps=()):
-    """Same schedule as a traced function of a jnp step (for optax)."""
+    """Same schedule as a traced function of a jnp step (usable in jit)."""
     host = step_lr(base_lr, milestones, lr_mults, warmup_lr, warmup_steps)
-    # precompute lr at every boundary; inside jit select by comparisons.
     milestones = list(milestones)
-    bounds = list(warmup_steps) + milestones
+    ws = list(warmup_steps)
+    warmup_end = ws[-1] if ws else 0
+    # post-warmup: a step function over milestone regions
+    region_probes = [warmup_end] + milestones
+    region_vals = np.asarray([host(p) for p in region_probes], np.float32)
+    ms = np.asarray(milestones, np.int64) if milestones else np.zeros(
+        (0,), np.int64)
+    # warmup: piecewise-linear through anchors (0, host(0)) .. (ws_i, ...)
+    wx = np.asarray([0] + ws, np.float32)
+    wy = np.asarray([host(0)] + [host(s) for s in ws], np.float32)
 
     def sched(step):
-        step_i = jnp.asarray(step, jnp.int32)
-        if not bounds:
-            return jnp.asarray(host(0), jnp.float32)
-        # warmup: piecewise linear between anchor points
-        ws = list(warmup_steps)
-        anchors_x = [0] + ws
-        anchors_y = [host(0)] + [host(s) for s in ws]
-        lr_val = jnp.asarray(host(max(bounds) + 1), jnp.float32)
-        # post-warmup step decay regions, from last to first
-        regions = ([max(ws) if ws else 0] + milestones) if milestones else [0]
-        for i in range(len(milestones), -1, -1):
-            lo = (milestones[i - 1] if i > 0 else (ws[-1] if ws else 0))
-            probe = lo  # lr constant in [lo, next milestone)
-            lr_val = jnp.where(step_i >= lo,
-                               jnp.asarray(host(probe), jnp.float32), lr_val)
-        # warmup region overrides
+        step_i = jnp.asarray(step, jnp.int64)
+        idx = jnp.searchsorted(jnp.asarray(ms), step_i, side='right')
+        val = jnp.asarray(region_vals)[idx]
         if ws:
-            t = step_i.astype(jnp.float32)
-            for i in range(len(ws) - 1, -1, -1):
-                x0 = anchors_x[i]
-                x1 = anchors_x[i + 1]
-                y0 = anchors_y[i]
-                y1 = anchors_y[i + 1]
-                seg = y0 + (t - x0) * (y1 - y0) / max(x1 - x0, 1)
-                lr_val = jnp.where(step_i < x1, seg.astype(jnp.float32),
-                                   lr_val)
-        return lr_val
+            wval = jnp.interp(step_i.astype(jnp.float32), jnp.asarray(wx),
+                              jnp.asarray(wy))
+            val = jnp.where(step_i < warmup_end, wval, val)
+        return val.astype(jnp.float32)
 
     return sched

@@ -1,0 +1,84 @@
+"""Optimizer update-rule parity vs torch; LR schedule reference values."""
+
+import numpy as np
+import torch
+
+from instaorder_tpu.core.schedule import step_lr, step_lr_jnp
+from instaorder_tpu.train.optim import SGD, Adam, make_optimizer
+
+
+def test_sgd_matches_torch_over_steps():
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, weight_decay=1e-4)
+
+    opt = SGD(momentum=0.9, weight_decay=1e-4)
+    params = {'w': w0.copy()}
+    state = opt.init(params)
+    lrs = [0.1, 0.1, 0.01, 0.01, 0.001]
+    for i, lr in enumerate(lrs):
+        g = rng.randn(4, 3).astype(np.float32)
+        for group in topt.param_groups:
+            group['lr'] = lr
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+        params, state = opt.update({'w': g}, state, params, lr)
+        np.testing.assert_allclose(np.asarray(params['w']),
+                                   tw.detach().numpy(), atol=1e-6)
+
+
+def test_adam_matches_torch_over_steps():
+    rng = np.random.RandomState(1)
+    w0 = rng.randn(5,).astype(np.float32)
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=3e-4, betas=(0.5, 0.999))
+
+    opt = Adam(b1=0.5, b2=0.999)
+    params = {'w': w0.copy()}
+    state = opt.init(params)
+    for i in range(6):
+        g = rng.randn(5,).astype(np.float32)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+        params, state = opt.update({'w': g}, state, params, 3e-4)
+        np.testing.assert_allclose(np.asarray(params['w']),
+                                   tw.detach().numpy(), atol=1e-6)
+
+
+def test_make_optimizer_dispatch():
+    assert isinstance(make_optimizer('SGD', weight_decay=1e-4), SGD)
+    assert isinstance(make_optimizer('Adam', beta1=0.5), Adam)
+
+
+def test_step_lr_no_warmup():
+    """InstaOrderNet_o recipe: lr 1e-3, steps [32k, 48k] x 0.1."""
+    lr = step_lr(1e-3, [32000, 48000], [0.1, 0.1])
+    assert lr(0) == 1e-3
+    assert lr(31999) == 1e-3
+    assert abs(lr(32000) - 1e-4) < 1e-12
+    assert abs(lr(47999) - 1e-4) < 1e-12
+    assert abs(lr(48000) - 1e-5) < 1e-12
+
+
+def test_step_lr_warmup_segments():
+    """Piecewise-linear warmup parity with scheduler.py:69-81: segment 0
+    interpolates base_lr -> warmup_lr[0] over [0, warmup_steps[0]]."""
+    lr = step_lr(0.01, [100], [0.1], warmup_lr=[0.04, 0.08],
+                 warmup_steps=[10, 20])
+    assert lr(0) == 0.01
+    assert abs(lr(5) - (0.01 + 5 * (0.04 - 0.01) / 10)) < 1e-12
+    assert abs(lr(10) - 0.04) < 1e-12
+    assert abs(lr(15) - 0.06) < 1e-12
+    # after warmup: scale = warmup_lr[-1] * mults / base_lr applied to base
+    assert abs(lr(50) - 0.08) < 1e-12
+    assert abs(lr(150) - 0.008) < 1e-12
+
+
+def test_step_lr_jnp_matches_host():
+    host = step_lr(1e-3, [32000, 48000], [0.1, 0.1])
+    traced = step_lr_jnp(1e-3, [32000, 48000], [0.1, 0.1])
+    for s in [0, 100, 31999, 32000, 40000, 48000, 60000]:
+        assert abs(float(traced(s)) - host(s)) < 1e-9, s
