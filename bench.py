@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Throughput benchmark: instance pairs/sec/chip (BASELINE.json north star).
+
+Measures the flagship InstaOrderNet_o inference path end-to-end on device:
+fused pair preprocessing (union-bbox crop + cv2-parity cubic/nearest
+resize + normalize for all pairs of COCO-like scenes) plus the siamese
+double forward through ResNet-50 (5ch) with BN folded, bf16 compute.
+The whole step — S scenes x P pairs preprocessing, 2·S·P forwards, decode
+— is ONE compiled program, so tunnel/dispatch overhead amortises and the
+MXU stays fed.
+
+Prints ONE JSON line:
+  {"metric": "pairs/sec/chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / 10000}
+(The reference publishes no throughput numbers — BASELINE.md sets the
+10k pairs/sec/chip target; its per-pair Python loop with per-pair host
+round trips processes O(10) pairs/sec.)
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--pairs-per-step', type=int, default=540)
+    ap.add_argument('--input-size', type=int, default=256)
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--dtype', default='bf16', choices=['bf16', 'f32'])
+    ap.add_argument('--instances', type=int, default=10,
+                    help='instances per synthetic scene (45 pairs at 10)')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from instaorder_tpu.models import resnet
+    from instaorder_tpu.models.folding import fold_resnet, apply_folded
+    from instaorder_tpu.core.nn import tree_cast
+    from instaorder_tpu.ops.pairs import (build_pair_batch,
+                                          all_pair_indices)
+
+    dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
+
+    # flagship model: resnet50_cls, 5 channels, 2-sigmoid occlusion head
+    params, stats, cfg = resnet.init(jax.random.PRNGKey(0), arch='resnet50',
+                                     in_channels=5, num_classes=2,
+                                     weight_init='xavier')
+    folded = fold_resnet(params, stats, cfg)
+    if args.dtype == 'bf16':
+        folded = tree_cast(folded, jnp.bfloat16)
+
+    # synthetic COCO-val-like scenes: 480x640, N instances each
+    rng = np.random.RandomState(0)
+    H, W, N = 480, 640, args.instances
+    n_pairs_img = N * (N - 1) // 2
+    S = max(1, int(np.ceil(args.pairs_per_step / n_pairs_img)))
+    images = rng.randint(0, 255, (S, H, W, 3)).astype(np.float32)
+    masks = np.zeros((S, N, H, W), np.float32)
+    bboxes = np.zeros((S, N, 4), np.float32)
+    for s in range(S):
+        for k in range(N):
+            y0, x0 = rng.randint(0, H - 100), rng.randint(0, W - 100)
+            hh, ww = rng.randint(30, 100, 2)
+            masks[s, k, y0:y0 + hh, x0:x0 + ww] = 1
+            bboxes[s, k] = [x0, y0, ww, hh]
+    pair_idx, _ = all_pair_indices(N)
+    pair_idx_j = jnp.asarray(pair_idx)
+    swap = jnp.asarray([1, 0, 2, 3, 4])
+    sz = args.input_size
+
+    @jax.jit
+    def megastep(folded_params, images, masks, bboxes):
+        """S scenes -> all-pair preprocessing -> 2SP forwards -> decisions."""
+        def prep(im, m, b):
+            return build_pair_batch(im, m, b, pair_idx_j, out_size=sz)
+        x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
+        x = x.reshape(-1, sz, sz, 5)
+        x = jnp.concatenate([x, x[..., swap]], axis=0)  # both directions
+        out = apply_folded(folded_params, cfg, x, dtype=dtype)
+        p = out.shape[0] // 2
+        s1 = jax.nn.sigmoid(out[:p])
+        s2 = jax.nn.sigmoid(out[p:])
+        i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5
+        j_over_i = (s1[:, 0] + s2[:, 1]) / 2 > 0.5
+        return i_over_j, j_over_i
+
+    d_images = jnp.asarray(images)
+    d_masks = jnp.asarray(masks)
+    d_bboxes = jnp.asarray(bboxes)
+
+    for _ in range(args.warmup):
+        ij, ji = megastep(folded, d_images, d_masks, d_bboxes)
+        ij.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        ij, ji = megastep(folded, d_images, d_masks, d_bboxes)
+    ij.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    value = S * n_pairs_img * args.iters / dt
+    print(json.dumps({
+        'metric': 'pairs/sec/chip',
+        'value': round(value, 1),
+        'unit': 'pairs/s',
+        'vs_baseline': round(value / 10000.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

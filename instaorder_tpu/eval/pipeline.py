@@ -1,0 +1,154 @@
+"""Batched order inference pipeline — one device program per image.
+
+The reference's eval loop (Tester.eval_occ_order, tools/test.py:404-476 +
+inference.py:349-624) runs N(N-1)/2 Python iterations per image, each with
+cv2 preprocessing and a per-pair H2D->forward->D2H round trip. Here:
+
+  1. host: decode masks once; compute the (padded) pair index list
+  2. device, one program: fused pair preprocessing -> both-direction
+     siamese forward over the 2P batch -> decode -> (N, N) matrices
+
+Pair counts are padded to the next bucket so a handful of compiled
+programs covers the whole dataset (static shapes for XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.pairs import (all_pair_indices, build_pair_batch,
+                         build_pair_batch_rois,
+                         build_pair_batch_shared_rgb)
+from ..ops.morphology import bordering_matrix
+from . import decode as D
+
+PAIR_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def bucket_pairs(p: int) -> int:
+    for b in PAIR_BUCKETS:
+        if p <= b:
+            return b
+    return int(np.ceil(p / PAIR_BUCKETS[-1]) * PAIR_BUCKETS[-1])
+
+
+def _swap_input(x):
+    """Swap the two mask channels of a (P, H, W, 5) batch."""
+    return x[..., jnp.asarray([1, 0, 2, 3, 4])]
+
+
+class OrderPredictor:
+    """Batched equivalent of infer_order_sup_{occ,depth,occ_depth}.
+
+    forward(params, stats, x) must return logits for a (2P, sz, sz, C)
+    batch: (P,2)/(P,{3,4}) single head or ((P,2),(P,3)) dual head —
+    jit-compiled once per pair bucket.
+    """
+
+    def __init__(self, apply_fn, cfg, params, stats, method,
+                 patch_or_image='patch', input_size=256, use_rgb=True):
+        self.apply_fn = apply_fn
+        self.cfg = cfg
+        self.params = params
+        self.stats = stats
+        self.method = method
+        self.patch_or_image = patch_or_image
+        self.input_size = input_size
+        self.use_rgb = use_rgb
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _forward(params, stats, x):
+            out, _ = apply_fn(params, stats, cfg, x, train=False)
+            return out
+
+        self._forward = _forward
+
+    def _build_batch(self, image, masks, bboxes, pair_idx):
+        if self.patch_or_image == 'patch':
+            return build_pair_batch(image, masks, bboxes, pair_idx,
+                                    out_size=self.input_size,
+                                    rgb_method='cubic')
+        if self.patch_or_image == 'image':
+            # pad-to-square: one shared roi centred on the image
+            # (inference.py:377-393)
+            h, w = image.shape[:2]
+            side = max(h, w)
+            roi = np.array([-((side - w) // 2), -((side - h) // 2),
+                            side, side], np.float32)
+            rois = jnp.asarray(np.tile(roi, (pair_idx.shape[0], 1)))
+            return build_pair_batch_rois(image, masks, pair_idx, rois,
+                                         out_size=self.input_size,
+                                         rgb_method='linear')
+        if self.patch_or_image == 'resize':
+            return build_pair_batch_shared_rgb(image, masks, pair_idx,
+                                               out_size=self.input_size,
+                                               rgb_method='cubic')
+        raise ValueError(self.patch_or_image)
+
+    def _pair_outputs(self, image, masks, bboxes, pairs='all'):
+        n = masks.shape[0]
+        p = n * (n - 1) // 2
+        pair_idx, valid = all_pair_indices(n, bucket_pairs(max(p, 1)))
+        if pairs == 'nbor' and n > 1:
+            bm = np.asarray(bordering_matrix(jnp.asarray(masks)))
+            valid &= bm[pair_idx[:, 0], pair_idx[:, 1]]
+        x1 = self._build_batch(jnp.asarray(image, jnp.float32),
+                               jnp.asarray(masks), jnp.asarray(
+                                   np.asarray(bboxes, np.float32)),
+                               jnp.asarray(pair_idx))
+        x = jnp.concatenate([x1, _swap_input(x1)], axis=0)
+        if not self.use_rgb:
+            x = x[..., :2]
+        out = self._forward(self.params, self.stats, x)
+        P = pair_idx.shape[0]
+        if isinstance(out, tuple):
+            out1 = tuple(o[:P] for o in out)
+            out2 = tuple(o[P:] for o in out)
+        else:
+            out1, out2 = out[:P], out[P:]
+        return pair_idx, jnp.asarray(valid), out1, out2, n
+
+    def infer_occ_order(self, image, masks, bboxes, pairs='all'):
+        """-> (N, N) int occlusion matrix (inference.py:439-512)."""
+        pair_idx, valid, out1, out2, n = self._pair_outputs(
+            image, masks, bboxes, pairs)
+        if self.method == 'OrderNet':
+            i_over_j, j_over_i = D.decode_ordernet(out1, out2)
+        elif self.method == 'InstaOrderNet_o':
+            i_over_j, j_over_i = D.decode_occ(out1, out2)
+        elif self.method in ('InstaOrderNet_od', 'InstaDepthNet_od'):
+            occ1 = out1[0] if isinstance(out1, tuple) else out1
+            occ2 = out2[0] if isinstance(out2, tuple) else out2
+            i_over_j, j_over_i = D.decode_occ(occ1, occ2)
+        else:
+            raise ValueError(self.method)
+        return np.asarray(D.occ_matrix(n, jnp.asarray(pair_idx), i_over_j,
+                                       j_over_i, valid))
+
+    def infer_depth_order(self, image, masks, bboxes, pairs='all'):
+        """-> (N, N) int depth matrix (inference.py:515-624)."""
+        pair_idx, valid, out1, out2, n = self._pair_outputs(
+            image, masks, bboxes, pairs)
+        d1 = out1[1] if isinstance(out1, tuple) else out1
+        d2 = out2[1] if isinstance(out2, tuple) else out2
+        arg = D.decode_depth(d1, d2)
+        return np.asarray(D.depth_matrix(n, jnp.asarray(pair_idx), arg,
+                                         valid))
+
+    def infer_occ_depth_order(self, image, masks, bboxes, pairs='all'):
+        """-> (occ (N,N), depth (N,N)) (inference.py:349-436)."""
+        pair_idx, valid, out1, out2, n = self._pair_outputs(
+            image, masks, bboxes, pairs)
+        occ1, dep1 = out1
+        occ2, dep2 = out2
+        i_over_j, j_over_i = D.decode_occ(occ1, occ2)
+        arg = D.decode_depth(dep1, dep2)
+        occ = np.asarray(D.occ_matrix(n, jnp.asarray(pair_idx), i_over_j,
+                                      j_over_i, valid))
+        dep = np.asarray(D.depth_matrix(n, jnp.asarray(pair_idx), arg,
+                                        valid))
+        return occ, dep

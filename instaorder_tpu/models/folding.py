@@ -1,0 +1,90 @@
+"""Inference-time BatchNorm folding.
+
+Eval-mode BN is an affine map, so it folds into the preceding conv:
+  w' = w * gamma / sqrt(var + eps)      (per output channel)
+  b' = beta - mean * gamma / sqrt(var + eps)
+This removes every BN op from the serving graph — one conv+bias(+relu)
+fusion per layer on the MXU instead of conv -> normalize -> scale chains.
+The reference has no analogue (it serves train-built graphs); this is a
+TPU-serving optimisation that leaves eval outputs bit-identical up to fp
+reassociation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn as cnn
+
+
+def _fold(conv_p, bn_p, bn_s, eps=1e-5):
+    scale = bn_p['scale'] * jax.lax.rsqrt(bn_s['var'] + eps)
+    w = conv_p['w'] * scale  # HWIO: broadcast over output channel (last)
+    b = bn_p['bias'] - bn_s['mean'] * scale
+    if 'b' in conv_p:
+        b = b + conv_p['b'] * scale
+    return {'w': w, 'b': b}
+
+
+def fold_resnet(params, stats, cfg):
+    """ResNet params+stats -> folded conv-only params for
+    `apply_folded`."""
+    out = {'conv1': _fold(params['conv1'], params['bn1'], stats['bn1'])}
+    for li, blocks in enumerate(cfg['layers']):
+        name = f'layer{li + 1}'
+        stage = []
+        for bp, bs in zip(params[name], stats[name]):
+            fb = {}
+            n_convs = 3 if cfg['block'] == 'bottleneck' else 2
+            for ci in range(1, n_convs + 1):
+                fb[f'conv{ci}'] = _fold(bp[f'conv{ci}'], bp[f'bn{ci}'],
+                                        bs[f'bn{ci}'])
+            if 'down_conv' in bp:
+                fb['down'] = _fold(bp['down_conv'], bp['down_bn'],
+                                   bs['down_bn'])
+            stage.append(fb)
+        out[name] = stage
+    for fc in ('fc', 'fc_occ', 'fc_depth'):
+        if fc in params:
+            out[fc] = params[fc]
+    return out
+
+
+def apply_folded(params, cfg, x, dtype=None):
+    """Lean inference forward for folded ResNet params (NHWC).
+
+    dtype: compute dtype (e.g. jnp.bfloat16 for the serving fast path);
+    params are cast on the fly, logits return in float32.
+    """
+    if dtype is not None:
+        x = x.astype(dtype)
+        params = cnn.tree_cast(params, dtype)
+    block = cfg['block']
+    groups = cfg['groups']
+
+    out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
+    out = jax.nn.relu(out)
+    out = cnn.max_pool(out, 3, 2, 1)
+    for li in range(4):
+        for bi, bp in enumerate(params[f'layer{li + 1}']):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            identity = out
+            if block == 'bottleneck':
+                h = jax.nn.relu(cnn.conv2d(bp['conv1'], out))
+                h = jax.nn.relu(cnn.conv2d(bp['conv2'], h, stride=stride,
+                                           padding=1, groups=groups))
+                h = cnn.conv2d(bp['conv3'], h)
+            else:
+                h = jax.nn.relu(cnn.conv2d(bp['conv1'], out, stride=stride,
+                                           padding=1))
+                h = cnn.conv2d(bp['conv2'], h, padding=1)
+            if 'down' in bp:
+                identity = cnn.conv2d(bp['down'], out, stride=stride)
+            out = jax.nn.relu(h + identity)
+    pooled = jnp.mean(out, axis=(1, 2), dtype=jnp.float32)
+    if cfg['dual_head']:
+        p = params
+        return (cnn.linear(cnn.tree_cast(p['fc_occ'], jnp.float32), pooled),
+                cnn.linear(cnn.tree_cast(p['fc_depth'], jnp.float32), pooled))
+    return cnn.linear(cnn.tree_cast(params['fc'], jnp.float32), pooled)

@@ -1,0 +1,221 @@
+"""Fused on-device pair preprocessing — the framework's hot op.
+
+The reference prepares every instance pair on the host with cv2 inside a
+Python double loop, with one H2D round-trip per pair (inference.py:443-510,
+occ_order_dataset.py:138-180). Here the whole image's N(N-1)/2 pairs become
+one batched device computation:
+
+  image (H, W, 3) + masks (N, H, W) + per-pair crop rois (P, 4)
+    -> (P, sz, sz, 5) model-ready batch
+
+Per-pair crop+resize+pad is expressed as two separable gather-interp
+stages whose tap indices/weights are computed on device from the roi
+scalars (so one compiled program covers every pair geometry — no
+recompile per image). Semantics match cv2 exactly:
+
+  * crop window pads with 0 outside the image (utils/data_utils.py:104-124)
+  * resize taps clamp to the crop window (cv2 BORDER_REPLICATE inside the
+    crop, zeros outside the image)
+  * RGB: INTER_CUBIC (A=-0.75, half-pixel); masks: INTER_NEAREST
+    (asymmetric floor mapping)
+
+Everything is batch-dim `P`, so pair-sharding across chips is just a
+`data`-axis sharding of this op's output (SURVEY.md §5 "pair sharding").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resize import _cubic_kernel
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def pair_rois(bboxes: jnp.ndarray, pair_idx: jnp.ndarray) -> jnp.ndarray:
+    """Union-bbox square crop roi for each pair (device version of
+    utils/data_utils pair geometry; inference.py:361-365).
+
+    bboxes: (N, 4) float xywh; pair_idx: (P, 2) int. Returns (P, 4)
+    float [x, y, size, size] — int-truncated like the reference.
+    """
+    b1 = bboxes[pair_idx[:, 0]]
+    b2 = bboxes[pair_idx[:, 1]]
+    left = jnp.minimum(b1[:, 0], b2[:, 0])
+    top = jnp.minimum(b1[:, 1], b2[:, 1])
+    right = jnp.maximum(b1[:, 0] + b1[:, 2], b2[:, 0] + b2[:, 2])
+    bottom = jnp.maximum(b1[:, 1] + b1[:, 3], b2[:, 1] + b2[:, 3])
+    w = right - left
+    h = bottom - top
+    size = jnp.maximum(jnp.sqrt(w * h * 2.0),
+                       jnp.maximum(w * 1.1, h * 1.1))
+    cx = left + w / 2.0
+    cy = top + h / 2.0
+    x = jnp.trunc(cx - size / 2.0)
+    y = jnp.trunc(cy - size / 2.0)
+    s = jnp.trunc(size)
+    return jnp.stack([x, y, s, s], axis=1)
+
+
+def _nearest_taps(roi_off, roi_size, out_size, src_size):
+    """cv2 INTER_NEAREST indices for a cropped window: (out_size,) idx into
+    the source axis plus validity (inside-image)."""
+    d = jnp.arange(out_size, dtype=jnp.float32)
+    t = jnp.floor(d * roi_size / out_size)
+    t = jnp.clip(t, 0.0, roi_size - 1.0)  # clamp inside crop window
+    src = t + roi_off
+    valid = (src >= 0) & (src <= src_size - 1)
+    return jnp.clip(src, 0, src_size - 1).astype(jnp.int32), valid
+
+
+def _cubic_taps(roi_off, roi_size, out_size, src_size):
+    """cv2 INTER_CUBIC 4-tap indices/weights for a cropped window.
+    Returns idx (out_size, 4) int32, w (out_size, 4) f32, where taps clamp
+    to the crop window (replicate) and invalid (outside-image) taps get a
+    validity flag for zero-padding."""
+    d = jnp.arange(out_size, dtype=jnp.float32)
+    f = (d + 0.5) * roi_size / out_size - 0.5
+    x0 = jnp.floor(f)
+    t = f - x0
+    ks = jnp.arange(-1, 3, dtype=jnp.float32)
+    w = _cubic_kernel(ks[None, :] - t[:, None], xp=jnp).astype(jnp.float32)
+    tap = x0[:, None] + ks[None, :]
+    tap = jnp.clip(tap, 0.0, roi_size - 1.0)  # replicate inside crop
+    src = tap + roi_off
+    valid = (src >= 0) & (src <= src_size - 1)
+    return jnp.clip(src, 0, src_size - 1).astype(jnp.int32), w, valid
+
+
+def _linear_taps(roi_off, roi_size, out_size, src_size):
+    """cv2 INTER_LINEAR 2-tap indices/weights for a cropped window."""
+    d = jnp.arange(out_size, dtype=jnp.float32)
+    f = (d + 0.5) * roi_size / out_size - 0.5
+    x0 = jnp.floor(f)
+    t = f - x0
+    ks = jnp.arange(0, 2, dtype=jnp.float32)
+    w = jnp.stack([1.0 - t, t], axis=1)
+    tap = x0[:, None] + ks[None, :]
+    tap = jnp.clip(tap, 0.0, roi_size - 1.0)
+    src = tap + roi_off
+    valid = (src >= 0) & (src <= src_size - 1)
+    return jnp.clip(src, 0, src_size - 1).astype(jnp.int32), w, valid
+
+
+def _crop_resize_interp_one(img, roi, out_size, method='cubic'):
+    """img: (H, W, C); roi: (4,) float xywh -> (out, out, C)."""
+    H, W = img.shape[0], img.shape[1]
+    taps = _cubic_taps if method == 'cubic' else _linear_taps
+    yi, wy, vy = taps(roi[1], roi[3], out_size, H)
+    xi, wx, vx = taps(roi[0], roi[2], out_size, W)
+    # stage 1: rows. (out, k) taps into H -> (out, W, C)
+    rows = img[yi]                                   # (out, k, W, C)
+    rows = rows * (wy * vy)[..., None, None]
+    rows = jnp.sum(rows, axis=1)                     # (out, W, C)
+    # stage 2: cols. (out, k) taps into W -> (out, out, C)
+    cols = rows[:, xi]                               # (out, out, k, C)
+    cols = cols * (wx * vx)[None, :, :, None]
+    return jnp.sum(cols, axis=2)
+
+
+def _crop_resize_nearest_one(mask, roi, out_size):
+    """mask: (H, W); roi: (4,) -> (out, out) nearest with 0-pad."""
+    H, W = mask.shape
+    yi, vy = _nearest_taps(roi[1], roi[3], out_size, H)
+    xi, vx = _nearest_taps(roi[0], roi[2], out_size, W)
+    out = mask[yi][:, xi]
+    return out * (vy[:, None] & vx[None, :]).astype(mask.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('out_size', 'normalize', 'rgb_method'))
+def build_pair_batch_rois(image, masks, pair_idx, rois, out_size=256,
+                          normalize=True, rgb_method='cubic'):
+    """Fused pair batch from explicit per-pair crop rois.
+
+    image: (H, W, 3) float32 in [0, 255] (raw uint8 range)
+    masks: (N, H, W) float32/uint8 {0, 1}
+    pair_idx: (P, 2) int32 — (i, j) per pair (pad with (0, 0); mask
+      invalid pairs downstream)
+    rois: (P, 4) float xywh crop windows (may exceed image bounds)
+    rgb_method: 'cubic' for patch mode (inference.py:366-368), 'linear'
+      for image mode.
+
+    Returns (P, sz, sz, 5): [modal_i, modal_j, normalized rgb].
+    """
+    rgb = image.astype(jnp.float32)
+
+    crop_rgb = jax.vmap(
+        lambda r: _crop_resize_interp_one(rgb, r, out_size, rgb_method))
+    rgb_out = crop_rgb(rois)                        # (P, sz, sz, 3)
+    # the reference resizes uint8 with cv2 (saturating, rounded) before
+    # the float conversion — emulate so cubic overshoot clamps identically
+    rgb_out = jnp.clip(jnp.round(rgb_out), 0.0, 255.0)
+    if normalize:
+        rgb_out = (rgb_out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    def crop_mask(pair, roi):
+        mi = _crop_resize_nearest_one(masks[pair[0]].astype(jnp.float32),
+                                      roi, out_size)
+        mj = _crop_resize_nearest_one(masks[pair[1]].astype(jnp.float32),
+                                      roi, out_size)
+        return mi, mj
+
+    mi, mj = jax.vmap(crop_mask)(pair_idx, rois)
+    return jnp.concatenate(
+        [mi[..., None], mj[..., None], rgb_out], axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('out_size', 'normalize', 'rgb_method'))
+def build_pair_batch(image, masks, bboxes, pair_idx, out_size=256,
+                     normalize=True, rgb_method='cubic'):
+    """The fused "patch"-mode pair batch op: per-pair union-bbox square
+    crops (see pair_rois) -> (P, sz, sz, 5)."""
+    rois = pair_rois(bboxes, pair_idx)
+    return build_pair_batch_rois(image, masks, pair_idx, rois,
+                                 out_size=out_size, normalize=normalize,
+                                 rgb_method=rgb_method)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('out_size', 'normalize', 'rgb_method'))
+def build_pair_batch_shared_rgb(image, masks, pair_idx, out_size=384,
+                                normalize=True, rgb_method='linear'):
+    """The "resize"-mode pair batch: one shared full-image resize, masks
+    indexed per pair. rgb_method: 'linear' matches the train dataset
+    (occ_order_dataset.py:84), 'cubic' matches the eval transform_resize
+    path (MiDaS Resize with INTER_CUBIC, utils/data_utils.py:37-53).
+    Returns (P, sz, sz, 5)."""
+    from .resize import resize, resize_nearest
+    rgb = resize(image.astype(jnp.float32).transpose(2, 0, 1), out_size,
+                 out_size, rgb_method).transpose(1, 2, 0)
+    rgb = jnp.clip(jnp.round(rgb), 0.0, 255.0)  # uint8-path emulation
+    if normalize:
+        rgb = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    masks_r = resize_nearest(masks.astype(jnp.float32), out_size, out_size)
+    mi = masks_r[pair_idx[:, 0]]
+    mj = masks_r[pair_idx[:, 1]]
+    P = pair_idx.shape[0]
+    rgb_b = jnp.broadcast_to(rgb[None], (P, out_size, out_size, 3))
+    return jnp.concatenate([mi[..., None], mj[..., None], rgb_b], axis=-1)
+
+
+def all_pair_indices(n: int, p_max: int | None = None):
+    """Host helper: upper-triangle (i, j), i<j pair list, padded to p_max.
+    Returns (pair_idx (P, 2) int32, valid (P,) bool)."""
+    idx = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    p = len(idx)
+    if p_max is None:
+        p_max = p
+    assert p_max >= p
+    out = np.zeros((p_max, 2), np.int32)
+    valid = np.zeros((p_max,), bool)
+    if p:
+        out[:p] = np.asarray(idx, np.int32)
+        valid[:p] = True
+    return out, valid

@@ -49,13 +49,14 @@ def resize_weights_linear(src: int, dst: int) -> np.ndarray:
     return W
 
 
-def _cubic_kernel(t: np.ndarray, A: float = -0.75) -> np.ndarray:
-    """OpenCV's bicubic kernel (BiCubic with A=-0.75), |t| in [0, 2)."""
-    at = np.abs(t)
-    w = np.where(
+def _cubic_kernel(t, A: float = -0.75, xp=np):
+    """OpenCV's bicubic kernel (BiCubic with A=-0.75), |t| in [0, 2).
+    Pass xp=jnp for use inside traced code."""
+    at = xp.abs(t)
+    w = xp.where(
         at <= 1.0,
         ((A + 2.0) * at - (A + 3.0)) * at * at + 1.0,
-        np.where(at < 2.0, ((A * at - 5.0 * A) * at + 8.0 * A) * at - 4.0 * A,
+        xp.where(at < 2.0, ((A * at - 5.0 * A) * at + 8.0 * A) * at - 4.0 * A,
                  0.0),
     )
     return w

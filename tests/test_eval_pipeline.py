@@ -1,0 +1,93 @@
+"""Batched OrderPredictor vs a per-pair reference loop with the same
+model — the batching must not change any decision."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from instaorder_tpu.models import resnet
+from instaorder_tpu.eval.pipeline import OrderPredictor, bucket_pairs
+from instaorder_tpu.eval import decode as D
+from instaorder_tpu.ops.pairs import build_pair_batch, all_pair_indices
+
+
+def scene(seed, n=4, h=96, w=128):
+    rng = np.random.RandomState(seed)
+    image = rng.randint(0, 255, (h, w, 3)).astype(np.float32)
+    masks = np.zeros((n, h, w), np.float32)
+    bboxes = np.zeros((n, 4), np.float32)
+    for k in range(n):
+        y0, x0 = rng.randint(0, h - 40), rng.randint(0, w - 40)
+        hh, ww = rng.randint(15, 40), rng.randint(15, 40)
+        masks[k, y0:y0 + hh, x0:x0 + ww] = 1
+        bboxes[k] = [x0, y0, ww, hh]
+    return image, masks, bboxes
+
+
+def test_batched_occ_matches_per_pair_loop():
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(0), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(0)
+    pred = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_o', 'patch', input_size=64)
+    got = pred.infer_occ_order(image, masks, bboxes)
+
+    # per-pair loop with identical preprocessing + model
+    n = masks.shape[0]
+    want = np.zeros((n, n), int)
+    for i in range(n):
+        for j in range(i + 1, n):
+            pi = np.array([[i, j]], np.int32)
+            x1 = build_pair_batch(image, masks, bboxes, pi, out_size=64)
+            x2 = x1[..., jnp.asarray([1, 0, 2, 3, 4])]
+            o1, _ = resnet.apply(params, stats, cfg, x1, train=False)
+            o2, _ = resnet.apply(params, stats, cfg, x2, train=False)
+            ioj, joi = D.decode_occ(o1, o2)
+            if bool(ioj[0]):
+                want[i, j] = 1
+            if bool(joi[0]):
+                want[j, i] = 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_od_joint():
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(1), arch='resnet50', in_channels=5,
+        num_classes=[2, 3], layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(1)
+    pred = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_od', 'resize', input_size=64)
+    occ, dep = pred.infer_occ_depth_order(image, masks, bboxes)
+    assert occ.shape == (4, 4) and dep.shape == (4, 4)
+    # depth matrix symmetry rules: [i,j]=1 -> [j,i]=0 ; 2 -> both 2
+    for i in range(4):
+        for j in range(i + 1, 4):
+            if dep[i, j] == 2:
+                assert dep[j, i] == 2
+            else:
+                assert {dep[i, j], dep[j, i]} == {0, 1}
+
+
+def test_nbor_pair_filter():
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(2), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image = np.zeros((64, 64, 3), np.float32)
+    masks = np.zeros((3, 64, 64), np.float32)
+    masks[0, 2:20, 2:20] = 1
+    masks[1, 19:40, 2:20] = 1   # touches 0
+    masks[2, 50:60, 50:60] = 1  # isolated
+    bboxes = np.array([[2, 2, 18, 18], [2, 19, 18, 21], [50, 50, 10, 10]],
+                      np.float32)
+    pred = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_o', 'patch', input_size=64)
+    got = pred.infer_occ_order(image, masks, bboxes, pairs='nbor')
+    # isolated instance 2 must have an all-zero row & column
+    assert got[2].sum() == 0 and got[:, 2].sum() == 0
+
+
+def test_bucket_sizes():
+    assert bucket_pairs(1) == 8
+    assert bucket_pairs(9) == 16
+    assert bucket_pairs(1025) == 2048

@@ -1,0 +1,92 @@
+"""Fused pair-preprocessing parity vs the host cv2 reference path."""
+
+import cv2
+import numpy as np
+import pytest
+
+from instaorder_tpu.ops import pairs as P
+from instaorder_tpu.utils import geometry as G
+
+
+def host_reference_pair(image, m1, m2, b1, b2, sz):
+    """The reference's patch-mode eval preprocessing (inference.py:449-464):
+    union bbox -> square crop -> cv2 INTER_CUBIC rgb / INTER_NEAREST masks
+    -> /255 imagenet normalize."""
+    roi = G.pair_crop_bbox(b1, b2)
+    rgb = cv2.resize(G.crop_padding(image, roi, (0, 0, 0)), (sz, sz),
+                     interpolation=cv2.INTER_CUBIC)
+    mi = cv2.resize(G.crop_padding(m1, roi, (0,)), (sz, sz),
+                    interpolation=cv2.INTER_NEAREST)
+    mj = cv2.resize(G.crop_padding(m2, roi, (0,)), (sz, sz),
+                    interpolation=cv2.INTER_NEAREST)
+    rgbn = (rgb.astype(np.float32) / 255.0 -
+            P.IMAGENET_MEAN) / P.IMAGENET_STD
+    return mi, mj, rgbn
+
+
+def random_scene(seed, h=120, w=160, n=4):
+    rng = np.random.RandomState(seed)
+    image = rng.randint(0, 255, (h, w, 3)).astype(np.float32)
+    masks = np.zeros((n, h, w), np.float32)
+    bboxes = np.zeros((n, 4), np.float32)
+    for k in range(n):
+        y0 = rng.randint(0, h - 30)
+        x0 = rng.randint(0, w - 30)
+        hh = rng.randint(10, 30)
+        ww = rng.randint(10, 30)
+        masks[k, y0:y0 + hh, x0:x0 + ww] = 1
+        bboxes[k] = [x0, y0, ww, hh]
+    return image, masks, bboxes
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_patch_mode_matches_host_reference(seed):
+    image, masks, bboxes, = random_scene(seed)
+    pair_idx, valid = P.all_pair_indices(4)
+    batch = np.asarray(P.build_pair_batch(image, masks, bboxes, pair_idx,
+                                          out_size=64))
+    for p, (i, j) in enumerate(pair_idx):
+        mi, mj, rgbn = host_reference_pair(
+            image.astype(np.uint8), masks[i], masks[j],
+            bboxes[i], bboxes[j], 64)
+        np.testing.assert_array_equal(batch[p, :, :, 0], mi)
+        np.testing.assert_array_equal(batch[p, :, :, 1], mj)
+        # cv2 resizes uint8 in 2^11 fixed point; we emulate the
+        # saturate+round, leaving at most 1 uint8 LSB of difference
+        # (1/255/std ~= 0.0175 after normalisation)
+        diff = np.abs(batch[p, :, :, 2:] - rgbn)
+        assert diff.max() <= 1.01 / 255.0 / P.IMAGENET_STD.min()
+        assert (diff > 1e-6).mean() < 0.05  # and it is rare
+
+
+def test_pair_rois_match_host_formula():
+    _, _, bboxes = random_scene(7)
+    import jax.numpy as jnp
+    pair_idx, _ = P.all_pair_indices(4)
+    rois = np.asarray(P.pair_rois(jnp.asarray(bboxes),
+                                  jnp.asarray(pair_idx)))
+    for p, (i, j) in enumerate(pair_idx):
+        want = G.pair_crop_bbox(bboxes[i], bboxes[j])
+        np.testing.assert_array_equal(rois[p].astype(int), want)
+
+
+def test_all_pair_indices_padding():
+    idx, valid = P.all_pair_indices(3, 8)
+    assert idx.shape == (8, 2)
+    assert valid.sum() == 3
+    np.testing.assert_array_equal(idx[:3], [[0, 1], [0, 2], [1, 2]])
+    idx0, valid0 = P.all_pair_indices(1, 4)
+    assert valid0.sum() == 0
+
+
+def test_shared_rgb_mode():
+    image, masks, bboxes = random_scene(3)
+    pair_idx, _ = P.all_pair_indices(4)
+    out = np.asarray(P.build_pair_batch_shared_rgb(
+        image, masks, pair_idx, out_size=64))
+    assert out.shape == (6, 64, 64, 5)
+    # masks must be the nearest-resized full-image masks
+    want = cv2.resize(masks[0], (64, 64), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(out[0, :, :, 0], want)
+    # rgb identical across pairs
+    np.testing.assert_array_equal(out[0, :, :, 2:], out[5, :, :, 2:])
