@@ -19,6 +19,7 @@ round trips processes O(10) pairs/sec.)
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -36,11 +37,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(__file__), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
     import jax.numpy as jnp
     from instaorder_tpu.models import resnet
-    from instaorder_tpu.models.folding import fold_resnet, apply_folded
+    from instaorder_tpu.models.folding import fold_resnet, apply_folded_siamese
     from instaorder_tpu.core.nn import tree_cast
-    from instaorder_tpu.ops.pairs import (build_pair_batch,
+    from instaorder_tpu.ops.pairs import (build_pair_batch_matmul, pair_rois,
                                           all_pair_indices)
 
     dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
@@ -69,21 +73,21 @@ def main():
             bboxes[s, k] = [x0, y0, ww, hh]
     pair_idx, _ = all_pair_indices(N)
     pair_idx_j = jnp.asarray(pair_idx)
-    swap = jnp.asarray([1, 0, 2, 3, 4])
     sz = args.input_size
 
     @jax.jit
     def megastep(folded_params, images, masks, bboxes):
-        """S scenes -> all-pair preprocessing -> 2SP forwards -> decisions."""
+        """S scenes -> all-pair MXU preprocessing -> siamese forward
+        (channel swap folded into a second conv1 weight) -> decisions."""
         def prep(im, m, b):
-            return build_pair_batch(im, m, b, pair_idx_j, out_size=sz)
+            rois = pair_rois(b, pair_idx_j)
+            return build_pair_batch_matmul(im, m, pair_idx_j, rois,
+                                           out_size=sz, dtype=dtype)
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
         x = x.reshape(-1, sz, sz, 5)
-        x = jnp.concatenate([x, x[..., swap]], axis=0)  # both directions
-        out = apply_folded(folded_params, cfg, x, dtype=dtype)
-        p = out.shape[0] // 2
-        s1 = jax.nn.sigmoid(out[:p])
-        s2 = jax.nn.sigmoid(out[p:])
+        o1, o2 = apply_folded_siamese(folded_params, cfg, x, dtype=dtype)
+        s1 = jax.nn.sigmoid(o1)
+        s2 = jax.nn.sigmoid(o2)
         i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5
         j_over_i = (s1[:, 0] + s2[:, 1]) / 2 > 0.5
         return i_over_j, j_over_i

@@ -52,9 +52,11 @@ def cross_entropy(inputs, labels):
 
 def cross_entropy_masked(inputs, labels, mask):
     """CE over the rows where mask is True; 0.0 if none are (matching the
-    reference's `if mask.sum() > 0` guard)."""
+    reference's `if mask.sum() > 0` guard). Labels may contain -1 for
+    masked-out rows (clamped before the gather; never read)."""
     logp = jax.nn.log_softmax(inputs.astype(jnp.float32), axis=-1)
-    picked = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+    safe = jnp.maximum(labels, 0)
+    picked = -jnp.take_along_axis(logp, safe[:, None].astype(jnp.int32),
                                   axis=-1)[:, 0]
     m = mask.astype(jnp.float32)
     count = jnp.sum(m)

@@ -51,21 +51,40 @@ def fold_resnet(params, stats, cfg):
     return out
 
 
-def apply_folded(params, cfg, x, dtype=None):
-    """Lean inference forward for folded ResNet params (NHWC).
+def apply_folded_siamese(params, cfg, x, dtype=None):
+    """Both swap directions WITHOUT materialising a swapped input copy.
 
-    dtype: compute dtype (e.g. jnp.bfloat16 for the serving fast path);
-    params are cast on the fly, logits return in float32.
-    """
+    Pass 2's input is pass 1's with mask channels 0,1 exchanged, so
+    conv1(swap(x)) == conv1'(x) where conv1' has its input-channel rows
+    0,1 swapped (HWIO axis 2). We run the stem with both weights on the
+    same x, concat at the stem output, and run the trunk once on the 2N
+    batch — saving a full copy of the (large) input batch in HBM.
+
+    Returns (out1, out2)."""
+    cin = params['conv1']['w'].shape[2]
+    perm = [1, 0] + list(range(2, cin))
+    swapped_conv1 = {'w': params['conv1']['w'][:, :, perm, :],
+                     'b': params['conv1']['b']}
     if dtype is not None:
         x = x.astype(dtype)
         params = cnn.tree_cast(params, dtype)
+        swapped_conv1 = cnn.tree_cast(swapped_conv1, dtype)
+    h1 = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
+    h2 = cnn.conv2d(swapped_conv1, x, stride=2, padding=3)
+    h = jax.nn.relu(jnp.concatenate([h1, h2], axis=0))
+    h = cnn.max_pool(h, 3, 2, 1)
+    out = _apply_trunk(params, cfg, h)
+    if isinstance(out, tuple):
+        n = x.shape[0]
+        return tuple(o[:n] for o in out), tuple(o[n:] for o in out)
+    n = x.shape[0]
+    return out[:n], out[n:]
+
+
+def _apply_trunk(params, cfg, out):
+    """Post-stem trunk + head(s) of the folded ResNet (NHWC)."""
     block = cfg['block']
     groups = cfg['groups']
-
-    out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
-    out = jax.nn.relu(out)
-    out = cnn.max_pool(out, 3, 2, 1)
     for li in range(4):
         for bi, bp in enumerate(params[f'layer{li + 1}']):
             stride = 2 if (li > 0 and bi == 0) else 1
@@ -84,7 +103,23 @@ def apply_folded(params, cfg, x, dtype=None):
             out = jax.nn.relu(h + identity)
     pooled = jnp.mean(out, axis=(1, 2), dtype=jnp.float32)
     if cfg['dual_head']:
-        p = params
-        return (cnn.linear(cnn.tree_cast(p['fc_occ'], jnp.float32), pooled),
-                cnn.linear(cnn.tree_cast(p['fc_depth'], jnp.float32), pooled))
+        return (cnn.linear(cnn.tree_cast(params['fc_occ'], jnp.float32),
+                           pooled),
+                cnn.linear(cnn.tree_cast(params['fc_depth'], jnp.float32),
+                           pooled))
     return cnn.linear(cnn.tree_cast(params['fc'], jnp.float32), pooled)
+
+
+def apply_folded(params, cfg, x, dtype=None):
+    """Lean inference forward for folded ResNet params (NHWC).
+
+    dtype: compute dtype (e.g. jnp.bfloat16 for the serving fast path);
+    params are cast on the fly, logits return in float32.
+    """
+    if dtype is not None:
+        x = x.astype(dtype)
+        params = cnn.tree_cast(params, dtype)
+    out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
+    out = jax.nn.relu(out)
+    out = cnn.max_pool(out, 3, 2, 1)
+    return _apply_trunk(params, cfg, out)

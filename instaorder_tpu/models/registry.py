@@ -41,6 +41,31 @@ def _resnet_entry(arch):
     return factory
 
 
+def _unet_entry(factory_name):
+    def factory():
+        from . import unet
+
+        kw = unet.UNET_FACTORIES[factory_name]
+
+        def init(key, in_channels=3, n_classes=2, **extra):
+            return unet.init(key, in_channels=in_channels,
+                             n_classes=n_classes, **kw)
+        return {'init': init, 'apply': unet.apply}
+    return factory
+
+
+def _midas_entry(variant):
+    def factory():
+        from . import midas
+
+        def init(key, **kw):
+            kw.pop('in_channels', None)
+            kw.pop('num_classes', None)
+            return midas.init(key, variant=variant, **kw)
+        return {'init': init, 'apply': midas.apply}
+    return factory
+
+
 # reference names (resnet_cls.py factories; `resnet50_cls` is the headline)
 for _name, _arch in [
     ('resnet18_cls', 'resnet18'),
@@ -54,3 +79,14 @@ for _name, _arch in [
     ('wide_resnet101_2', 'wide_resnet101_2'),
 ]:
     register(_name)(_resnet_entry(_arch))
+
+# UNet family (PCNet-M backbones, unet_model.py:78-109 + *res variants)
+from .unet import UNET_FACTORIES as _UF  # noqa: E402
+
+for _name in _UF:
+    register(_name)(_unet_entry(_name))
+
+# MiDaS family (midas/midas_net.py)
+register('MidasNet')(_midas_entry('midas'))
+register('InstaDepthNet_d')(_midas_entry('instadepthnet_d'))
+register('InstaDepthNet_od')(_midas_entry('instadepthnet_od'))

@@ -185,6 +185,29 @@ def apply(params, stats, cfg, x, train=False, features=False):
     return cnn.linear(params['fc'], pooled), new_stats
 
 
+def run_stage(params, stats, cfg, stage_idx, x, train=False):
+    """Apply one residual stage (1-indexed) to `x`. Used by the MiDaS
+    order branches, which interleave trunk features between stages
+    (reference midas/midas_net.py:91-99, 193-206)."""
+    name = f'layer{stage_idx}'
+    stage_new = []
+    out = x
+    for bi, (bp, bs) in enumerate(zip(params[name], stats[name])):
+        stride = 2 if (stage_idx > 1 and bi == 0) else 1
+        out, bns = _block_apply(bp, bs, out, cfg['block'], stride,
+                                cfg['groups'], 1, train)
+        stage_new.append(bns)
+    return out, stage_new
+
+
+def run_stem(params, stats, x, train=False):
+    """conv1+bn+relu+maxpool (the reference's fused 'layer1' prefix)."""
+    out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
+    out, bn1 = cnn.batch_norm(params['bn1'], stats['bn1'], out, train)
+    out = jax.nn.relu(out)
+    return cnn.max_pool(out, 3, 2, 1), bn1
+
+
 def make(arch='resnet50', **kw):
     """Convenience: returns (init_fn, apply_fn) closed over arch."""
     def init_fn(key, **ikw):

@@ -78,6 +78,37 @@ def resize_weights_cubic(src: int, dst: int) -> np.ndarray:
     return W
 
 
+@functools.lru_cache(maxsize=256)
+def resize_weights_linear_align_corners(src: int, dst: int) -> np.ndarray:
+    """(dst, src) bilinear weights with torch align_corners=True mapping
+    (src = dst * (src-1)/(dst-1)); used by UNet/MiDaS upsampling
+    (reference unet_parts.py:56, midas/blocks.py:191-193)."""
+    if dst == 1 or src == 1:
+        W = np.zeros((dst, src), np.float32)
+        W[:, 0] = 1.0
+        return W
+    fx = np.arange(dst) * ((src - 1) / (dst - 1))
+    x0 = np.floor(fx).astype(np.int64)
+    t = (fx - x0).astype(np.float32)
+    W = np.zeros((dst, src), dtype=np.float32)
+    rows = np.arange(dst)
+    np.add.at(W, (rows, np.clip(x0, 0, src - 1)), 1.0 - t)
+    np.add.at(W, (rows, np.clip(x0 + 1, 0, src - 1)), t)
+    return W
+
+
+def upsample_bilinear_align_corners(x: jnp.ndarray, out_h: int,
+                                    out_w: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=True) on the
+    trailing two spatial dims of (..., H, W)."""
+    h, w = x.shape[-2], x.shape[-1]
+    Wy = jnp.asarray(resize_weights_linear_align_corners(h, out_h))
+    Wx = jnp.asarray(resize_weights_linear_align_corners(w, out_w))
+    prec = jax.lax.Precision.HIGHEST
+    out = jnp.einsum('Hh,...hw->...Hw', Wy, x, precision=prec)
+    return jnp.einsum('Ww,...Hw->...HW', Wx, out, precision=prec)
+
+
 def resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest resize of (..., H, W) via static gathers."""
     h, w = img.shape[-2], img.shape[-1]

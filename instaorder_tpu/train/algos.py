@@ -159,12 +159,101 @@ def make_insta_order_od(apply_fn, cfg, hyper):
     return loss_fn
 
 
+def make_insta_depth_net(apply_fn, cfg, hyper, with_occ):
+    """InstaDepthNet_{d,od} (reference supervised_order.py:99-367):
+    weighted depth CE (on softmax) + optional occ BCE + edge-aware
+    smoothness on both passes' disparities + the disparity-order violation
+    count over eroded masks — erosion on device (ops.morphology) instead of
+    the reference's per-sample scipy host sync.
+
+    apply_fn(params, stats, img, m1, m2, train) -> ((disp, depth, occ),
+    new_stats) — wrap models.midas.apply with cfg closed over."""
+    ow = hyper['overlap_weight']
+    dw = hyper['distinct_weight']
+    smooth_w = hyper['smooth_weight']
+    dorder_w = hyper['dorder_weight']
+    occ_w = hyper.get('occ_order_weight', 0)
+
+    from ..ops.morphology import binary_erosion
+
+    def loss_fn(params, stats, batch, train=True):
+        rgb = batch['rgb']
+        m1 = batch['modal1']
+        m2 = batch['modal2']
+        (disp1, dep1, occ1_o), s1 = apply_fn(params, stats, cfg, rgb, m1,
+                                             m2, train=train)
+        (disp2, dep2, occ2_o), s2 = apply_fn(params, s1, cfg, rgb, m2, m1,
+                                             train=train)
+        sm1 = jax.nn.softmax(dep1, axis=-1)
+        sm2 = jax.nn.softmax(dep2, axis=-1)
+        d1 = batch['depth_order']
+        d2 = L.swap_depth_labels(d1)
+        ovl = batch['is_overlap'] == 1
+        dst = batch['is_overlap'] == 0
+        loss_overlap = (L.cross_entropy_masked(sm1, d1, ovl) +
+                        L.cross_entropy_masked(sm2, d2, ovl)) * ow
+        loss_distinct = (L.cross_entropy_masked(sm1, d1, dst) +
+                         L.cross_entropy_masked(sm2, d2, dst)) * dw
+        loss_occ = 0.0
+        if with_occ and occ_w != 0:
+            o1 = batch['occ_order']
+            o2 = L.swap_occ_columns(o1)
+            loss_occ = (L.bce_with_logits(occ1_o, o1) +
+                        L.bce_with_logits(occ2_o, o2))
+        loss_smooth = 0.0
+        if smooth_w != 0:
+            loss_smooth = (L.edge_aware_smoothness(disp1, rgb) +
+                           L.edge_aware_smoothness(disp2, rgb)) * smooth_w
+        loss_dorder = 0.0
+        if dorder_w != 0:
+            e1 = binary_erosion(m1 > 0.5)
+            e2 = binary_erosion(m2 > 0.5)
+            count = L.disparity_order_violations(disp1, disp2, e1, e2, d1,
+                                                 dst)
+            hw = disp1.shape[-2] * disp1.shape[-1]
+            loss_dorder = count / hw * dorder_w
+        loss = (loss_overlap + loss_distinct + loss_occ + loss_smooth +
+                loss_dorder)
+        logs = {'loss': loss, 'loss_overlap': loss_overlap,
+                'loss_distinct': loss_distinct, 'loss_occ': loss_occ,
+                'loss_smooth': loss_smooth, 'loss_disp_order': loss_dorder}
+        return loss, (s2, logs)
+
+    return loss_fn
+
+
+def make_partial_completion_mask(apply_fn, cfg, hyper):
+    """PartialCompletionMask (PCNet-M, reference models/partial_completion_
+    mask.py:116-126): UNet over cat(mask, eraser) [+ rgb encoder for the
+    *res variants], mask-weighted per-pixel CE against the original modal.
+
+    apply_fn(params, stats, cfg, x, rgb=..., train=...) -> (logits NHWC,
+    new_stats)."""
+    use_rgb = hyper.get('use_rgb', False)
+    inmask_weight = hyper.get('inmask_weight', 5.0)
+
+    def loss_fn(params, stats, batch, train=True):
+        x = jnp.stack([batch['modal'], batch['eraser']], axis=-1)
+        kw = {'rgb': batch['rgb']} if use_rgb else {}
+        logits, new_stats = apply_fn(params, stats, cfg, x, train=train,
+                                     **kw)
+        loss = L.mask_weighted_cross_entropy(
+            logits, batch['target'], batch['eraser'],
+            inmask_weight=inmask_weight, outmask_weight=1.0)
+        return loss, (new_stats, {'loss': loss})
+
+    return loss_fn
+
+
 ALGOS = {
     'OrderNet': make_order_net,
     'OrderNet_ext': make_order_net,
     'InstaOrderNet_o': make_insta_order_o,
     'InstaOrderNet_d': make_insta_order_d,
     'InstaOrderNet_od': make_insta_order_od,
+    'InstaDepthNet_d': lambda a, c, h: make_insta_depth_net(a, c, h, False),
+    'InstaDepthNet_od': lambda a, c, h: make_insta_depth_net(a, c, h, True),
+    'PartialCompletionMask': make_partial_completion_mask,
 }
 
 

@@ -71,3 +71,115 @@ class TorchResNetCls(nn.Module):
         if self.dual:
             return self.fc_occ(x), self.fc_depth(x)
         return self.fc(x)
+
+
+class TorchDoubleConv(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1), nn.BatchNorm2d(cout),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(cout, cout, 3, padding=1), nn.BatchNorm2d(cout),
+            nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _Inc(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = TorchDoubleConv(cin, cout)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _Down(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.mpconv = nn.Sequential(nn.MaxPool2d(2),
+                                    TorchDoubleConv(cin, cout))
+
+    def forward(self, x):
+        return self.mpconv(x)
+
+
+class _Up(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = TorchDoubleConv(cin, cout)
+
+    def forward(self, x1, x2):
+        x1 = nn.functional.interpolate(x1, scale_factor=2, mode='bilinear',
+                                       align_corners=True)
+        dy = x2.size(2) - x1.size(2)
+        dx = x2.size(3) - x1.size(3)
+        x1 = nn.functional.pad(x1, (dx // 2, dx - dx // 2,
+                                    dy // 2, dy - dy // 2))
+        return self.conv(torch.cat([x2, x1], dim=1))
+
+
+class _OutC(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class TorchUNet(nn.Module):
+    """Oracle for the 4-deep UNet (torchvision-free, reference-naming)."""
+
+    def __init__(self, in_channels=3, w=4, n_classes=2):
+        super().__init__()
+        c = lambda m: int(m * w)
+        self.inc = _Inc(in_channels, c(16))
+        self.down1 = _Down(c(16), c(32))
+        self.down2 = _Down(c(32), c(64))
+        self.down3 = _Down(c(64), c(128))
+        self.down4 = _Down(c(128), c(128))
+        self.up1 = _Up(c(256), c(64))
+        self.up2 = _Up(c(128), c(32))
+        self.up3 = _Up(c(64), c(16))
+        self.up4 = _Up(c(32), c(16))
+        self.outc = _OutC(c(16), n_classes)
+
+    def forward(self, x):
+        x1 = self.inc(x)
+        x2 = self.down1(x1)
+        x3 = self.down2(x2)
+        x4 = self.down3(x3)
+        x5 = self.down4(x4)
+        x = self.up1(x5, x4)
+        x = self.up2(x, x3)
+        x = self.up3(x, x2)
+        x = self.up4(x, x1)
+        return self.outc(x)
+
+
+class TorchRCU(nn.Module):
+    def __init__(self, f):
+        super().__init__()
+        self.conv1 = nn.Conv2d(f, f, 3, padding=1)
+        self.conv2 = nn.Conv2d(f, f, 3, padding=1)
+
+    def forward(self, x):
+        out = self.conv2(torch.relu(self.conv1(torch.relu(x))))
+        return out + x
+
+
+class TorchFusion(nn.Module):
+    def __init__(self, f):
+        super().__init__()
+        self.resConfUnit1 = TorchRCU(f)
+        self.resConfUnit2 = TorchRCU(f)
+
+    def forward(self, *xs):
+        out = xs[0]
+        if len(xs) == 2:
+            out = out + self.resConfUnit1(xs[1])
+        out = self.resConfUnit2(out)
+        return nn.functional.interpolate(out, scale_factor=2,
+                                         mode='bilinear', align_corners=True)
