@@ -1,0 +1,46 @@
+"""Train CLI — parity with reference main.py flags.
+
+Usage:
+  python -m instaorder_tpu.cli.train --config experiments/.../config.yaml
+      [--load-model PATH] [--resume] [--validate] [--seed N]
+      [--n-devices N] [--out-dir DIR]
+
+No torch.distributed.launch analogue is needed: one process drives the
+whole mesh (parallel/mesh.py); multi-host would call
+jax.distributed.initialize() here.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', required=True)
+    ap.add_argument('--load-model', default=None)
+    ap.add_argument('--load-iter', default=None, type=int)
+    ap.add_argument('--resume', action='store_true')
+    ap.add_argument('--validate', action='store_true')
+    ap.add_argument('--seed', type=int, default=131)
+    ap.add_argument('--n-devices', type=int, default=None)
+    ap.add_argument('--out-dir', default=None)
+    args = ap.parse_args()
+
+    from ..cli.config import load_config
+    from ..train.trainer import Trainer
+
+    cfg = load_config(args.config)
+    cfg.seed = args.seed
+    trainer = Trainer(cfg, n_devices=args.n_devices, out_dir=args.out_dir)
+    if args.load_model:
+        path = args.load_model
+        if args.load_iter is not None:
+            import os
+            path = os.path.join(path, f'ckpt_iter_{args.load_iter}.ckpt')
+        trainer.load(path, resume=args.resume)
+    trainer.run(validate_only=args.validate)
+
+
+if __name__ == '__main__':
+    main()

