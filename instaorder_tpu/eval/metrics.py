@@ -138,3 +138,14 @@ def diw_whdr_update(disp, a_yx, b_yx, ordinal):
     # larger disparity = closer. ordinal '>': A closer than B.
     pred = '>' if da > db else '<'
     return pred != ordinal
+
+
+def accuracy_topk(output, target, topk=(1,)):
+    """precision@k (reference utils/common_utils.py:112-125)."""
+    output = np.asarray(output)
+    target = np.asarray(target)
+    maxk = max(topk)
+    n = target.shape[0]
+    pred = np.argsort(-output, axis=1)[:, :maxk]
+    correct = pred == target[:, None]
+    return [float(correct[:, :k].sum()) * 100.0 / n for k in topk]
