@@ -34,6 +34,8 @@ def main():
     ap.add_argument('--dtype', default='bf16', choices=['bf16', 'f32'])
     ap.add_argument('--instances', type=int, default=10,
                     help='instances per synthetic scene (45 pairs at 10)')
+    ap.add_argument('--no-pallas', action='store_true',
+                    help='disable the fused pallas bottleneck path')
     args = ap.parse_args()
 
     import jax
@@ -85,7 +87,8 @@ def main():
                                            out_size=sz, dtype=dtype)
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
         x = x.reshape(-1, sz, sz, 5)
-        o1, o2 = apply_folded_siamese(folded_params, cfg, x, dtype=dtype)
+        o1, o2 = apply_folded_siamese(folded_params, cfg, x, dtype=dtype,
+                                      use_pallas=not args.no_pallas)
         s1 = jax.nn.sigmoid(o1)
         s2 = jax.nn.sigmoid(o2)
         i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5

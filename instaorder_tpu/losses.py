@@ -173,3 +173,58 @@ def l2_with_ignore(pred, target, ignore_value=None):
     m = (target != ignore_value).astype(jnp.float32)
     diff = (pred - target.astype(jnp.float32)) ** 2 * m
     return jnp.sum(diff) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def adversarial_loss(outputs, is_real, is_disc=None, loss_type='nsgan',
+                     real_label=1.0, fake_label=0.0):
+    """GAN loss (reference models/losses.py:5-42): nsgan (BCE on sigmoid
+    outputs), lsgan (MSE), hinge."""
+    o = outputs.astype(jnp.float32)
+    if loss_type == 'hinge':
+        if is_disc:
+            o = -o if is_real else o
+            return jnp.mean(jax.nn.relu(1.0 + o))
+        return jnp.mean(-o)
+    label = jnp.full_like(o, real_label if is_real else fake_label)
+    if loss_type == 'nsgan':
+        return bce(o, label)
+    if loss_type == 'lsgan':
+        return jnp.mean((o - label) ** 2)
+    raise ValueError(loss_type)
+
+
+def gram_matrix(feat):
+    """(N, H, W, C) -> (N, C, C) normalised Gram (losses.py:91-97)."""
+    n, h, w, c = feat.shape
+    f = feat.reshape(n, h * w, c)
+    return jnp.einsum('nxc,nxd->ncd', f, f) / (c * h * w)
+
+
+def total_variation_loss(image):
+    """(N, H, W, C) mean abs one-pixel shifts (losses.py:100-104)."""
+    return (jnp.mean(jnp.abs(image[:, :, :-1] - image[:, :, 1:])) +
+            jnp.mean(jnp.abs(image[:, :-1] - image[:, 1:])))
+
+
+def inpainting_loss(inp, mask, output, gt, extractor=None):
+    """Hole/valid/perceptual/style/tv losses (losses.py:107-145). NHWC;
+    `extractor(img_nhwc) -> [feat1, feat2, feat3]` (e.g. a VGG16 stand-in);
+    perceptual/style terms are skipped when no extractor is given."""
+    l1 = lambda a, b: jnp.mean(jnp.abs(a - b))
+    comp = mask * inp + (1 - mask) * output
+    out = {'hole': l1((1 - mask) * output, (1 - mask) * gt),
+           'valid': l1(mask * output, mask * gt)}
+    if extractor is not None:
+        def to3(t):
+            return t if t.shape[-1] == 3 else jnp.tile(t, (1, 1, 1, 3))
+        f_comp = extractor(to3(comp))
+        f_out = extractor(to3(output))
+        f_gt = extractor(to3(gt))
+        out['prc'] = sum(l1(a, g) + l1(c, g) for a, c, g in
+                         zip(f_out, f_comp, f_gt))
+        out['style'] = sum(
+            l1(gram_matrix(a), gram_matrix(g)) +
+            l1(gram_matrix(c), gram_matrix(g))
+            for a, c, g in zip(f_out, f_comp, f_gt))
+    out['tv'] = total_variation_loss(comp)
+    return out

