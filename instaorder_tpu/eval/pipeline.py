@@ -87,6 +87,28 @@ class OrderPredictor:
             return build_pair_batch_shared_rgb(image, masks, pair_idx,
                                                out_size=self.input_size,
                                                rgb_method='cubic')
+        if self.patch_or_image == 'orig':
+            # image-native resolution rounded to x32
+            # (inference.py:401-408 via get_closest_int_multiple_of);
+            # NB: recompiles per (h, w) bucket.
+            from ..utils.geometry import get_closest_int_multiple_of
+            h = get_closest_int_multiple_of(int(image.shape[0]), 32)
+            w = get_closest_int_multiple_of(int(image.shape[1]), 32)
+            # reuse shared-rgb path with a rectangular target
+            from ..ops.resize import resize, resize_nearest
+            import jax.numpy as jnp_
+            rgb = resize(image.astype(np.float32).transpose(2, 0, 1), h, w,
+                         'cubic').transpose(1, 2, 0)
+            rgb = jnp_.clip(jnp_.round(rgb), 0.0, 255.0)
+            from ..ops.pairs import IMAGENET_MEAN, IMAGENET_STD
+            rgb = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            masks_r = resize_nearest(jnp_.asarray(masks, jnp_.float32), h, w)
+            mi = masks_r[pair_idx[:, 0]]
+            mj = masks_r[pair_idx[:, 1]]
+            P = pair_idx.shape[0]
+            rgb_b = jnp_.broadcast_to(rgb[None], (P, h, w, 3))
+            return jnp_.concatenate([mi[..., None], mj[..., None], rgb_b],
+                                    axis=-1)
         raise ValueError(self.patch_or_image)
 
     def _pair_outputs(self, image, masks, bboxes, pairs='all'):

@@ -91,3 +91,14 @@ def test_bucket_sizes():
     assert bucket_pairs(1) == 8
     assert bucket_pairs(9) == 16
     assert bucket_pairs(1025) == 2048
+
+
+def test_orig_mode():
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(3), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(2, h=100, w=130)
+    pred = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_o', 'orig', input_size=None)
+    got = pred.infer_occ_order(image, masks, bboxes)
+    assert got.shape == (4, 4)
