@@ -43,13 +43,15 @@ class Tester:
     def __init__(self, args, logger=None, n_images=-1):
         """args: config namespace with .model/.data/.trainer + attributes
         order_method, pairs ('all'|'nbor'), zd, load_model,
-        disp_select_method."""
+        disp_select_method, save_pngs, out_dir."""
         self.args = args
         self.order_method = getattr(args, 'order_method', None) or \
             args.model['algo']
         self.pairs = getattr(args, 'pairs', 'all')
         assert self.pairs in ('all', 'nbor')
         self.zd = getattr(args, 'zd', 0)
+        self.save_pngs = getattr(args, 'save_pngs', 0)
+        self.out_dir = getattr(args, 'out_dir', 'out_pngs')
         self.logger = logger or _print_logger()
 
         data_cfg = args.data
@@ -163,6 +165,8 @@ class Tester:
             f1s.append(f1)
             self.logger.info(
                 f'[{fn}]\trecall={r:.3f} / precision={p:.3f} / f1={f1:.3f}')
+            if self.save_pngs:
+                self._dump_pngs(fn, image, modal, pred_occ=pred, gt_occ=gt)
         out = {'recall': float(np.mean(rs)),
                'precision': float(np.mean(ps)),
                'f1': float(np.mean(f1s)), 'n': len(rs)}
@@ -185,6 +189,9 @@ class Tester:
             self.logger.info(
                 f"[{fn}]\t{per['ovlX_all'][0]:.3f} | "
                 f"{per['ovlO_all'][0]:.3f} | {per['ovlOX_all'][0]:.3f}")
+            if self.save_pngs:
+                self._dump_pngs(fn, image, modal, pred_depth=pred,
+                                gt_depth=gt_d[0], gt_overlap=gt_d[1])
         return self._finish_whdr(whdr_acc)
 
     def eval_occ_depth_order(self):
@@ -209,6 +216,10 @@ class Tester:
                 f"[{fn}]\t{per['ovlX_all'][0]:.3f} | {per['ovlO_all'][0]:.3f}"
                 f" | {per['ovlOX_all'][0]:.3f}\n\t\t\trecall={r:.3f} / "
                 f"precision={p:.3f} / f1={f1:.3f}")
+            if self.save_pngs:
+                self._dump_pngs(fn, image, modal, pred_occ=occ, gt_occ=gt_o,
+                                pred_depth=dep, gt_depth=gt_d[0],
+                                gt_overlap=gt_d[1])
         out = self._finish_whdr(whdr_acc)
         out.update({'recall': float(np.mean(rs)),
                     'precision': float(np.mean(ps)),
@@ -217,6 +228,39 @@ class Tester:
             f"[AVERAGE] recall={out['recall']:.3f} / "
             f"precision={out['precision']:.3f} / f1={out['f1']:.3f}")
         return out
+
+    def _dump_pngs(self, image_fn, image, modal, pred_occ=None, gt_occ=None,
+                   pred_depth=None, gt_depth=None, gt_overlap=None):
+        """PNG artifacts like tools/test.py:230-262: mask overlay + gt/pred
+        order graphs."""
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from ..utils.visualize import (draw_graph, get_mid_top_from_masks,
+                                       put_instance_mask_and_ID)
+        img_name = os.path.splitext(os.path.basename(image_fn))[0]
+        for sub in ('mask', 'occ_order', 'depth_order'):
+            os.makedirs(os.path.join(self.out_dir, sub), exist_ok=True)
+        overlay = put_instance_mask_and_ID(
+            image, modal, get_mid_top_from_masks(modal))
+        plt.imsave(os.path.join(self.out_dir, 'mask', f'{img_name}.png'),
+                   overlay)
+        for name, gt, pred, ovl in (('occ_order', gt_occ, pred_occ, None),
+                                    ('depth_order', gt_depth, pred_depth,
+                                     gt_overlap)):
+            if pred is None:
+                continue
+            fig = plt.figure(figsize=(10, 5))
+            ax = fig.add_subplot(121)
+            draw_graph(np.where(gt == -1, 0, gt), ovl, ax=ax)
+            ax.set_title('gt')
+            ax2 = fig.add_subplot(122)
+            draw_graph(pred, ax=ax2)
+            ax2.set_title('pred')
+            fig.savefig(os.path.join(self.out_dir, name,
+                                     f'{img_name}.png'),
+                        bbox_inches='tight')
+            plt.close(fig)
 
     def _finish_whdr(self, whdr_acc):
         """Mean over images skipping the -1 empty-slice sentinel
