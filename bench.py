@@ -27,7 +27,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--pairs-per-step', type=int, default=540)
+    ap.add_argument('--pairs-per-step', type=int, default=1080)
     ap.add_argument('--input-size', type=int, default=256)
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--warmup', type=int, default=3)
