@@ -289,3 +289,67 @@ def nlayer_discriminator_apply(params, stats, cfg, x, train=False):
         if i < n:
             h = jax.nn.leaky_relu(h, 0.2)
     return h, ns
+
+
+# ---------------------------------------------------------------------------
+# VGG16 feature extractor (perceptual/style losses)
+# ---------------------------------------------------------------------------
+
+# vgg16.features[:17] layer plan: (out_channels, pool_before)
+_VGG16_SLICES = (
+    # enc_1 = features[:5]  : conv64, conv64, pool is NOT included (pool at
+    #   idx 4 IS included: conv,relu,conv,relu,pool? torchvision vgg16
+    #   features: 0 conv64,1 relu,2 conv64,3 relu,4 pool -> enc_1 ends with
+    #   the pool at stride 2
+    ((64, False), (64, False)),          # then pool
+    ((128, False), (128, False)),        # features[5:10]: conv,relu,conv,
+                                         # relu,pool
+    ((256, False), (256, False), (256, False)),  # features[10:17]: 3x conv
+                                         # + pool
+)
+
+
+def vgg16_extractor_init(key, in_channels=3):
+    """VGG16 enc_1..enc_3 slices (reference pconv_unet.py:33-51). Weights
+    are randomly initialised here (no torchvision zoo in this image);
+    `vgg16_from_torch_state_dict` converts real weights when provided."""
+    keys = iter(cnn.split_keys(key, 16))
+    p: Dict[str, Any] = {}
+    cin = in_channels
+    for si, convs in enumerate(_VGG16_SLICES, 1):
+        blocks = []
+        for cout, _ in convs:
+            blocks.append(cnn.conv_init(next(keys), 3, 3, cin, cout,
+                                        bias=True, init='kaiming_out'))
+            cin = cout
+        p[f'enc_{si}'] = blocks
+    return p, {'slices': tuple(len(c) for c in _VGG16_SLICES)}
+
+
+def vgg16_extractor_apply(params, cfg, image_nhwc):
+    """-> [enc_1, enc_2, enc_3] feature maps (each ends with a 2x2 max
+    pool, stride 2, like torchvision vgg16.features slices)."""
+    results = []
+    h = image_nhwc
+    for si, n_convs in enumerate(cfg['slices'], 1):
+        for conv_p in params[f'enc_{si}']:
+            h = jax.nn.relu(cnn.conv2d(conv_p, h, padding=1))
+        h = cnn.max_pool(h, window=2, stride=2, padding=0)
+        results.append(h)
+    return results
+
+
+def vgg16_from_torch_state_dict(sd, in_channels=3):
+    """Convert torchvision vgg16.features[:17] weights (keys like
+    'features.0.weight') into the extractor pytree."""
+    from ..compat.torch_convert import conv_w, _np
+    import jax.numpy as jnp
+    idxs = ((0, 2), (5, 7), (10, 12, 14))
+    p = {}
+    for si, layer_ids in enumerate(idxs, 1):
+        blocks = []
+        for li in layer_ids:
+            blocks.append({'w': conv_w(sd[f'features.{li}.weight']),
+                           'b': jnp.asarray(_np(sd[f'features.{li}.bias']))})
+        p[f'enc_{si}'] = blocks
+    return p

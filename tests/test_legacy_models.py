@@ -124,3 +124,18 @@ def test_gram_and_tv_match_torch():
                + torch.mean(torch.abs(timg[:, :, :-1] - timg[:, :, 1:])))
     got_tv = float(L.total_variation_loss(img))
     assert abs(got_tv - want_tv.item()) < 1e-6
+
+
+def test_vgg16_extractor():
+    p, cfg = legacy.vgg16_extractor_init(jax.random.PRNGKey(6))
+    x = np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32)
+    feats = legacy.vgg16_extractor_apply(p, cfg, x)
+    assert [f.shape for f in feats] == [(1, 32, 32, 64), (1, 16, 16, 128),
+                                        (1, 8, 8, 256)]
+    # wire into inpainting loss
+    gt = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
+    mask = np.ones((1, 64, 64, 1), np.float32)
+    d = L.inpainting_loss(gt, mask, gt * 0.9, gt,
+                          lambda img: legacy.vgg16_extractor_apply(p, cfg,
+                                                                   img))
+    assert np.isfinite(float(d['prc'])) and np.isfinite(float(d['style']))
