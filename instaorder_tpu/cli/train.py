@@ -25,7 +25,15 @@ def main():
     ap.add_argument('--seed', type=int, default=131)
     ap.add_argument('--n-devices', type=int, default=None)
     ap.add_argument('--out-dir', default=None)
+    ap.add_argument('--multihost', action='store_true',
+                    help='initialize jax.distributed for a multi-host pod '
+                         '(the NCCL/slurm launcher analogue; coordinator '
+                         'resolved from the TPU environment)')
     args = ap.parse_args()
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
 
     from ..cli.config import load_config
     from ..train.trainer import Trainer

@@ -92,8 +92,13 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
     for li in range(4):
         for bi, bp in enumerate(params[f'layer{li + 1}']):
             stride = 2 if (li > 0 and bi == 0) else 1
+            # restrict to the early high-traffic stages: for the deep
+            # stages the 3x3 weight block (up to 4.7MB at layer4) would be
+            # re-streamed per grid step, costing more than the activation
+            # traffic saved.
             fusable = (use_pallas and block == 'bottleneck' and
-                       stride == 1 and groups == 1 and 'down' not in bp)
+                       stride == 1 and groups == 1 and 'down' not in bp
+                       and bp['conv1']['w'].shape[2] <= 512)
             if fusable:
                 from ..ops.pallas_blocks import fused_bottleneck
                 out = fused_bottleneck(
