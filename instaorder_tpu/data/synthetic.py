@@ -157,3 +157,55 @@ def make_cocoa_fixture(root, n_images=3, n_instances=3, h=64, w=80, seed=1,
     with open(path, 'w') as f:
         json.dump({'images': images, 'annotations': annots}, f)
     return path, img_dir
+
+
+def make_kins_fixture(root, n_images=3, n_instances=3, h=80, w=120, seed=2,
+                      split='val'):
+    """Tiny KINS-format fixture: annotations carry `inmodal_seg` RLE,
+    `inmodal_bbox`, and amodal polygon `segmentation` so the
+    infer_gt_order path (modal ∩ amodal overlap) is exercised."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, f'kins_{split}')
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for img_i in range(n_images):
+        image_id = 3000 + img_i
+        fn = f'kins_{image_id}.png'
+        canvas = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        full, visible = [], []
+        for k in range(n_instances):
+            y0, x0 = rng.randint(0, h - 30), rng.randint(0, w - 40)
+            m = np.zeros((h, w), np.uint8)
+            m[y0:y0 + rng.randint(16, 30), x0:x0 + rng.randint(20, 40)] = 1
+            full.append(m)
+        for k in range(n_instances):
+            vis = full[k].copy()
+            for later in range(k + 1, n_instances):
+                vis[full[later] == 1] = 0
+            visible.append(vis)
+        Image.fromarray(canvas).save(os.path.join(img_dir, fn))
+        images.append({'id': image_id, 'file_name': fn, 'height': h,
+                       'width': w})
+        for k in range(n_instances):
+            from ..utils.geometry import mask_to_bbox
+            ys, xs = np.nonzero(full[k])
+            y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
+            amodal_poly = [float(x0), float(y0), float(x1 + 1), float(y0),
+                           float(x1 + 1), float(y1 + 1), float(x0),
+                           float(y1 + 1)]
+            annotations.append({
+                'id': ann_id, 'image_id': image_id,
+                'inmodal_seg': rle.encode(visible[k]),
+                'inmodal_bbox': mask_to_bbox(visible[k]),
+                'segmentation': [amodal_poly],
+                'category_id': int(rng.randint(1, 5)),
+                'area': int(visible[k].sum()), 'iscrowd': 0,
+            })
+            ann_id += 1
+    path = os.path.join(root, f'KINS_{split}.json')
+    with open(path, 'w') as f:
+        json.dump({'images': images, 'annotations': annotations,
+                   'categories': [{'id': i, 'name': f'c{i}'}
+                                  for i in range(1, 5)]}, f)
+    return path, img_dir
