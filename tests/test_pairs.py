@@ -90,3 +90,37 @@ def test_shared_rgb_mode():
     np.testing.assert_array_equal(out[0, :, :, 0], want)
     # rgb identical across pairs
     np.testing.assert_array_equal(out[0, :, :, 2:], out[5, :, :, 2:])
+
+
+def test_matmul_prep_highest_precision_matches_gather_exactly():
+    """With Precision.HIGHEST the MXU formulation must agree with the
+    (exact) gather path bit-for-bit after the uint8 round."""
+    import jax
+    import jax.numpy as jnp
+    from instaorder_tpu.ops.pairs import (build_pair_batch_matmul,
+                                          build_pair_batch, pair_rois)
+    image, masks, bboxes = random_scene(5)
+    pair_idx, _ = P.all_pair_indices(4)
+    rois = pair_rois(jnp.asarray(bboxes), jnp.asarray(pair_idx))
+    got = np.asarray(build_pair_batch_matmul(
+        image, masks, jnp.asarray(pair_idx), rois, out_size=64,
+        precision=jax.lax.Precision.HIGHEST))
+    want = np.asarray(build_pair_batch(image, masks, bboxes, pair_idx,
+                                       out_size=64))
+    np.testing.assert_array_equal(got[..., :2], want[..., :2])
+    np.testing.assert_allclose(got[..., 2:], want[..., 2:], atol=1e-6)
+
+
+def test_collectives_gather():
+    import jax
+    from instaorder_tpu.parallel import make_mesh, shard_batch
+    from instaorder_tpu.parallel.collectives import (gather_tensors,
+                                                     gather_tensors_batch,
+                                                     process_allgather)
+    mesh = make_mesh(8)
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    sharded = shard_batch({'x': x}, mesh)['x']
+    shards = gather_tensors(sharded)
+    assert len(shards) == 8
+    np.testing.assert_array_equal(gather_tensors_batch(sharded), x)
+    np.testing.assert_array_equal(process_allgather(x), x)
