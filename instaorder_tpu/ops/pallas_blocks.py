@@ -26,26 +26,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
                        b3_ref, out_ref, h1p_ref):
-    """One image per grid step: x (1, H, W, Cin) -> out (1, H, W, Cin).
-    h1p_ref: (H+2, W+2, Cm) zero-padded VMEM scratch for the 3x3 stage."""
-    _, H, W, Cin = x_ref.shape
+    """A tile of B images per grid step: x (B, H, W, Cin) -> out same.
+    h1p_ref: (B, H+2, W+2, Cm) zero-padded VMEM scratch for the 3x3
+    stage (per-image padding keeps images independent)."""
+    B, H, W, Cin = x_ref.shape
     Cm = w1_ref.shape[1]
 
-    x2d = x_ref[0].reshape(H * W, Cin)
+    x2d = x_ref[:].reshape(B * H * W, Cin)
 
-    # conv1 1x1 + bias + relu -> (H*W, Cm)
+    # conv1 1x1 + bias + relu -> (B*H*W, Cm)
     h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(x2d.dtype)
 
-    # padded scratch (zero borders)
+    # padded scratch (zero borders per image)
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
-    h1p_ref[1:H + 1, 1:W + 1, :] = h1.reshape(H, W, Cm)
+    h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
 
     # conv2 3x3 as 9 shifted matmuls, f32 accumulation
-    acc = jnp.zeros((H * W, Cm), jnp.float32)
+    acc = jnp.zeros((B * H * W, Cm), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            win = h1p_ref[dy:dy + H, dx:dx + W, :].reshape(H * W, Cm)
+            win = h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(
+                B * H * W, Cm)
             acc = acc + jnp.dot(win, w2_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
     h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(x2d.dtype)
@@ -53,24 +55,38 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     # conv3 1x1 + bias + residual + relu
     out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
     out = out + b3_ref[:] + x2d.astype(jnp.float32)
-    out_ref[0] = jnp.maximum(out, 0.0).astype(x2d.dtype).reshape(H, W, Cin)
+    out_ref[:] = jnp.maximum(out, 0.0).astype(x2d.dtype).reshape(
+        B, H, W, Cin)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
+@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False,
+                     batch_tile=None):
     """Stride-1, groups-1, identity-skip bottleneck block.
 
     x: (N, H, W, Cin); w1: (Cin, Cm); w2: (3, 3, Cm, Cm) HWIO;
     w3: (Cm, Cin); biases per-channel. Returns (N, H, W, Cin).
+
+    batch_tile: images per grid step (amortises per-step fixed cost and
+    widens the matmuls). Default: largest divisor of N whose tile fits
+    a ~10MB input-block budget.
     """
     N, H, W, Cin = x.shape
     Cm = w1.shape[1]
+    if batch_tile is None:
+        per_img = H * W * Cin * x.dtype.itemsize
+        budget = 10 * 1024 * 1024
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
 
     return pl.pallas_call(
         _bottleneck_kernel,
-        grid=(N,),
+        grid=(N // B,),
         in_specs=[
-            pl.BlockSpec((1, H, W, Cin), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -79,10 +95,10 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, Cin), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Cm), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
