@@ -176,6 +176,10 @@ class Trainer:
         dataset = ds_cls(data_cfg, phase, self.algo)
         per_rank = data_cfg['batch_size'] if phase == 'train' else \
             data_cfg.get('batch_size_val', data_cfg['batch_size'])
+        if phase != 'train' and per_rank % self.world_size != 0:
+            raise ValueError(
+                f'batch_size_val={per_rank} must be divisible by the mesh '
+                f'size ({self.world_size}) so the eval step can shard it')
         if phase == 'train':
             sampler = GlobalBatchSampler(
                 len(dataset), self.args.model['total_iter'], per_rank,
@@ -208,6 +212,9 @@ class Trainer:
         btime = AverageMeter(10)
         dtime = AverageMeter(10)
         recorder: Dict[str, AverageMeter] = {}
+        pending = []  # device-side log dicts; materialised at print_freq
+                      # so logging never stalls the device pipeline (the
+                      # reference syncs per-iteration, trainer.py:175)
 
         end = time.time()
         for i, batch in enumerate(loader):
@@ -219,13 +226,19 @@ class Trainer:
             self.params, self.stats, self.opt_state, logs = self.train_step(
                 self.params, self.stats, self.opt_state, sharded, lr)
 
-            for k, v in logs.items():
-                recorder.setdefault(k, AverageMeter(10)).update(float(v))
+            pending.append(logs)
+            if len(pending) > 10:
+                del pending[0]
             btime.update(time.time() - end)
             end = time.time()
             self.curr_step += 1
 
             if self.curr_step % print_freq == 0:
+                for logd in pending:
+                    for k, v in logd.items():
+                        recorder.setdefault(k, AverageMeter(10)).update(
+                            float(v))
+                pending.clear()
                 loss_str = '\t'.join(
                     f'{k}: {m.val:.4g} ({m.avg:.4g})'
                     for k, m in recorder.items())
