@@ -161,12 +161,19 @@ class SupOcclusionOrderDataset(_PairDatasetBase):
         return self.data_reader.get_image_length()
 
     def _gt_matrix(self, idx):
+        # NB use_category multiplies BEFORE the KINS gt derivation, as the
+        # reference does (occ_order_dataset.py:183-188) — with category ids
+        # > 1 this zeroes infer_gt_order's `== 1` tests, a reference quirk
+        # kept for parity (shipped configs all use use_category: False).
         if self.dataset == 'KINS':
             from ..eval.heuristics import infer_gt_order
             modal, category, bboxes, amodal, fn = \
                 self.data_reader.get_image_instances(idx, with_gt=True)
+            if self.config.get('use_category', False):
+                modal = modal * category[:, None, None]
             gt = infer_gt_order(modal, amodal)
-        elif self.dataset == 'InstaOrder':
+            return modal, bboxes, fn, gt
+        if self.dataset == 'InstaOrder':
             modal, category, bboxes, _, fn = \
                 self.data_reader.get_image_instances(idx, with_gt=True)
             gt = self.data_reader.get_gt_ordering(

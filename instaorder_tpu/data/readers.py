@@ -138,6 +138,11 @@ class InstaOrderReader:
             for o in self.annot_info[imgidx]['occlusion']:
                 order = o['order']
                 if '&' in order:
+                    # NB: with rm_bidirec the reference marks -1 using
+                    # *stale* idx1/idx2 from the previous record (a latent
+                    # bug at reader.py:345-349, unreachable in shipped
+                    # configs which set remove_occ_bidirec: 0); we parse
+                    # the current record's indices — the evident intent.
                     i1, i2 = map(int, order.split(' & ')[0].split('<'))
                     if rm_bidirec:
                         occ[i1, i2] = occ[i2, i1] = -1

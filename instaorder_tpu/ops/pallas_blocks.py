@@ -42,14 +42,14 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
     h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
 
-    # conv2 3x3 as 9 shifted matmuls, f32 accumulation
-    acc = jnp.zeros((B * H * W, Cm), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            win = h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(
-                B * H * W, Cm)
-            acc = acc + jnp.dot(win, w2_ref[dy, dx],
-                                preferred_element_type=jnp.float32)
+    # conv2 3x3 as ONE im2col matmul: (B*H*W, 9*Cm) @ (9*Cm, Cm).
+    # K = 9*Cm keeps the MXU contraction dim full (vs 9 skinny K=Cm
+    # matmuls), letting the compute overlap the block DMA.
+    cols = jnp.concatenate(
+        [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    w2_flat = w2_ref[:].reshape(9 * Cm, Cm)
+    acc = jnp.dot(cols, w2_flat, preferred_element_type=jnp.float32)
     h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(x2d.dtype)
 
     # conv3 1x1 + bias + residual + relu
