@@ -90,12 +90,15 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
     block = cfg['block']
     groups = cfg['groups']
     for li in range(4):
-        for bi, bp in enumerate(params[f'layer{li + 1}']):
+        blocks = params[f'layer{li + 1}']
+        bi = 0
+        while bi < len(blocks):
+            bp = blocks[bi]
             stride = 2 if (li > 0 and bi == 0) else 1
-            # restrict to the early high-traffic stages: for the deep
-            # stages the 3x3 weight block (up to 4.7MB at layer4) would be
-            # re-streamed per grid step, costing more than the activation
-            # traffic saved.
+            # single-block kernel restricted to the early high-traffic
+            # stages: measured best (3901 pairs/s vs 3853 XLA vs 3782 for
+            # the whole-stage variant whose resident weight stacks at
+            # layer3/4 hurt pipelining)
             fusable = (use_pallas and block == 'bottleneck' and
                        stride == 1 and groups == 1 and 'down' not in bp
                        and bp['conv1']['w'].shape[2] <= 512)
@@ -106,6 +109,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                     bp['conv1']['w'][0, 0], bp['conv1']['b'],
                     bp['conv2']['w'], bp['conv2']['b'],
                     bp['conv3']['w'][0, 0], bp['conv3']['b'])
+                bi += 1
                 continue
             identity = out
             if block == 'bottleneck':
@@ -120,6 +124,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
             if 'down' in bp:
                 identity = cnn.conv2d(bp['down'], out, stride=stride)
             out = jax.nn.relu(h + identity)
+            bi += 1
     pooled = jnp.mean(out, axis=(1, 2), dtype=jnp.float32)
     if cfg['dual_head']:
         return (cnn.linear(cnn.tree_cast(params['fc_occ'], jnp.float32),

@@ -74,8 +74,11 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False,
     N, H, W, Cin = x.shape
     Cm = w1.shape[1]
     if batch_tile is None:
+        # ~5MB input-block budget: bt=2 at layer1 (64^2 x 256), larger for
+        # the smaller deep stages; bt>2 at layer1 over-pressures VMEM and
+        # loses pipelining (measured).
         per_img = H * W * Cin * x.dtype.itemsize
-        budget = 10 * 1024 * 1024
+        budget = 5 * 1024 * 1024
         batch_tile = max(1, min(8, budget // max(per_img, 1)))
         while N % batch_tile:
             batch_tile -= 1
@@ -113,3 +116,73 @@ def bottleneck_reference(x, w1, b1, w2, b2, w3, b3):
     h = jax.nn.relu(cnn.conv2d({'w': w2, 'b': b2}, h, padding=1))
     h = cnn.conv2d({'w': w3[None, None], 'b': b3}, h)
     return jax.nn.relu(h + x)
+
+
+def _stage_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                  out_ref, h1p_ref):
+    """K consecutive stride-1 bottleneck blocks on a tile of B images —
+    ONE input DMA and ONE output DMA for the whole stage segment.
+    Weight refs carry a leading block axis: w1 (K, Cin, Cm), ..."""
+    B, H, W, Cin = x_ref.shape
+    K, _, Cm = w1_ref.shape
+
+    cur = x_ref[:].reshape(B * H * W, Cin)
+    for k in range(K):
+        h1 = jnp.dot(cur, w1_ref[k], preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + b1_ref[k], 0.0).astype(cur.dtype)
+        h1p_ref[:] = jnp.zeros_like(h1p_ref)
+        h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
+        cols = jnp.concatenate(
+            [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+             for dy in range(3) for dx in range(3)], axis=1)
+        acc = jnp.dot(cols, w2_ref[k].reshape(9 * Cm, Cm),
+                      preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(acc + b2_ref[k], 0.0).astype(cur.dtype)
+        out = jnp.dot(h2, w3_ref[k], preferred_element_type=jnp.float32)
+        out = out + b3_ref[k] + cur.astype(jnp.float32)
+        cur = jnp.maximum(out, 0.0).astype(cur.dtype)
+    out_ref[:] = cur.reshape(B, H, W, Cin)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
+                           batch_tile=None):
+    """Run K stacked stride-1 bottleneck blocks (weights with a leading
+    block axis) in one pallas call: the intermediate activations between
+    blocks never touch HBM.
+
+    x: (N, H, W, Cin); w1: (K, Cin, Cm); w2: (K, 3, 3, Cm, Cm);
+    w3: (K, Cm, Cin); b*: (K, C)."""
+    N, H, W, Cin = x.shape
+    K, _, Cm = w1.shape
+    if batch_tile is None:
+        per_img = H * W * Cin * x.dtype.itemsize
+        budget = 5 * 1024 * 1024
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    return pl.pallas_call(
+        _stage_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32))
