@@ -34,10 +34,9 @@ def main():
     ap.add_argument('--dtype', default='bf16', choices=['bf16', 'f32'])
     ap.add_argument('--instances', type=int, default=10,
                     help='instances per synthetic scene (45 pairs at 10)')
-    ap.add_argument('--pallas', action='store_true',
-                    help='route stride-1 bottlenecks through the fused '
-                         'pallas kernel (experimental; XLA default wins '
-                         'in-graph on current toolchain)')
+    ap.add_argument('--no-pallas', action='store_true',
+                    help='disable the fused im2col pallas bottleneck path '
+                         '(layer1/2) and use pure XLA')
     args = ap.parse_args()
 
     import jax
@@ -90,7 +89,7 @@ def main():
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
         x = x.reshape(-1, sz, sz, 5)
         o1, o2 = apply_folded_siamese(folded_params, cfg, x, dtype=dtype,
-                                      use_pallas=args.pallas)
+                                      use_pallas=not args.no_pallas)
         s1 = jax.nn.sigmoid(o1)
         s2 = jax.nn.sigmoid(o2)
         i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5
