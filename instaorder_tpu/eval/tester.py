@@ -89,6 +89,14 @@ class Tester:
         if load:
             _, params, stats, _ = ckpt.load_state(load, params, stats,
                                                   warn=self.logger.info)
+        if self.order_method == 'PartialCompletionMask':
+            from .amodal import AmodalCompleter
+            self.completer = AmodalCompleter(
+                bb['apply'], cfg, params, stats,
+                use_rgb=args.model.get('use_rgb', False),
+                input_size=args.data['input_size'])
+            self.predictor = None
+            return
         self.predictor = OrderPredictor(
             bb['apply'], cfg, params, stats, self.order_method,
             patch_or_image=args.data['patch_or_image'],
@@ -126,14 +134,27 @@ class Tester:
             return self.eval_occ_depth_order()
         raise ValueError(tv)
 
-    def _predict_occ(self, image, modal, bboxes):
+    def _predict_occ(self, image, modal, bboxes, category=None):
         m = self.order_method
         if m == 'area':
-            return H.infer_occ_order_area(modal, occluder='smaller')
+            # reference eval_occ_order uses 'larger' for every dataset
+            # (tools/test.py:420-426)
+            return H.infer_occ_order_area(modal, occluder='larger')
         if m == 'yaxis':
-            return H.infer_occ_order_yaxis(modal, occluder='lower')
+            occluder = ('lower' if self.dataset in ('COCOA', 'InstaOrder')
+                        else 'higher')
+            return H.infer_occ_order_yaxis(modal, occluder=occluder)
         if m == 'hull':
             return H.infer_order_hull(modal)
+        if m == 'PartialCompletionMask':
+            cat = (category if category is not None
+                   else np.ones(modal.shape[0]))
+            return self.completer.infer_order(
+                image, modal.astype(np.uint8), cat, bboxes,
+                pairs=self.pairs,
+                th=getattr(self.args, 'order_th', 0.1),
+                input_size=self.args.data['input_size'],
+                interp='nearest')
         return self.predictor.infer_occ_order(
             image.astype(np.float32), modal.astype(np.float32),
             bboxes.astype(np.float32), pairs=self.pairs)
@@ -158,7 +179,7 @@ class Tester:
         for i in range(self.data_length):
             modal, cat, bboxes, amodal, fn, image = self._load_scene(i)
             gt = self._gt_occ(i, modal, amodal)
-            pred = self._predict_occ(image, modal, bboxes)
+            pred = self._predict_occ(image, modal, bboxes, cat)
             r, p, f1 = eval_order_recall_precision_f1(pred, gt, self.zd)
             rs.append(r)
             ps.append(p)

@@ -126,3 +126,40 @@ def test_visualize_helpers(tmp_path):
                                        get_mid_top_from_masks(masks))
     assert overlay.shape == (32, 32, 3)
     assert overlay.any()
+
+
+def test_tester_pcnet_order_method(fixture):
+    """PCNet-M erase-and-complete occlusion eval through the Tester
+    (reference tools/test.py:434-439)."""
+    args = make_args(fixture)
+    args.model = {'algo': 'PartialCompletionMask',
+                  'backbone_arch': 'unet1d2',
+                  'backbone_param': {'in_channels': 2, 'n_classes': 2},
+                  'use_rgb': False}
+    args.data['trainval_dataset'] = 'PartialCompDataset'
+    args.data['input_size'] = 32
+    args.order_method = 'PartialCompletionMask'
+    args.order_th = 0.1
+    from instaorder_tpu.eval.tester import Tester
+    t = Tester(args, n_images=2)
+    out = t.run()
+    assert np.isfinite(out['f1'])
+
+
+def test_tester_heuristic_defaults_match_reference():
+    """area occluder = 'larger' (tools/test.py:420-426), yaxis 'lower'
+    for InstaOrder."""
+    from instaorder_tpu.eval import tester as T
+    masks = np.zeros((2, 20, 20), np.uint8)
+    masks[0, 0:10, 0:20] = 1    # big, top
+    masks[1, 9:13, 0:4] = 1     # small, below, touching 0
+    args = types.SimpleNamespace()
+    args.model = {'algo': 'InstaOrderNet_o'}
+    args.data = {'dataset': 'InstaOrder', 'val_annot_file': None}
+    # direct call of the dispatch helper without a reader
+    t = object.__new__(T.Tester)
+    t.order_method = 'area'
+    t.dataset = 'InstaOrder'
+    t.args = args
+    pred = t._predict_occ(None, masks, None)
+    assert pred[0, 1] == 1 and pred[1, 0] == 0  # larger occludes
