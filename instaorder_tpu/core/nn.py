@@ -122,19 +122,28 @@ def batch_norm(params, stats, x, train, momentum=0.1, eps=1e-5):
     """
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
+        # statistics always in f32 (stable under the bf16 compute policy;
+        # identical math for f32 inputs)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes)
+        var = jnp.var(xf, axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
-            'mean': (1 - momentum) * stats['mean'] + momentum * mean,
-            'var': (1 - momentum) * stats['var'] + momentum * unbiased,
+            'mean': ((1 - momentum) * stats['mean'].astype(jnp.float32)
+                     + momentum * mean),
+            'var': ((1 - momentum) * stats['var'].astype(jnp.float32)
+                    + momentum * unbiased),
         }
     else:
-        mean, var = stats['mean'], stats['var']
+        mean, var = (stats['mean'].astype(jnp.float32),
+                     stats['var'].astype(jnp.float32))
         new_stats = stats
-    inv = jax.lax.rsqrt(var + eps) * params['scale']
-    return (x - mean) * inv + params['bias'], new_stats
+    inv = (jax.lax.rsqrt(var + eps) *
+           params['scale'].astype(jnp.float32))
+    out = ((x.astype(jnp.float32) - mean) * inv
+           + params['bias'].astype(jnp.float32))
+    return out.astype(x.dtype), new_stats
 
 
 def max_pool(x, window=3, stride=2, padding=1):

@@ -31,6 +31,17 @@ import jax.numpy as jnp
 from .. import losses as L
 
 
+def _compute_dtype(hyper):
+    """Resolve the mixed-precision policy from config ('compute_dtype':
+    'bf16'|'f32'; default full f32 like the reference)."""
+    name = hyper.get('compute_dtype', None)
+    if name in (None, 'f32', 'float32'):
+        return None
+    if name in ('bf16', 'bfloat16'):
+        return jnp.bfloat16
+    raise ValueError(f'unknown compute_dtype {name}')
+
+
 def assemble_pair_input(batch, use_rgb: bool, swap: bool):
     m1 = batch['modal1'][..., None]
     m2 = batch['modal2'][..., None]
@@ -41,8 +52,20 @@ def assemble_pair_input(batch, use_rgb: bool, swap: bool):
 
 
 def _double_forward(apply_fn, cfg, params, stats, batch, use_rgb, train,
-                    fused=True):
-    """Returns (out1, out2, new_stats); out* may be tuples (dual head)."""
+                    fused=True, compute_dtype=None):
+    """Returns (out1, out2, new_stats); out* may be tuples (dual head).
+
+    compute_dtype: mixed-precision policy — cast params + inputs to this
+    dtype (e.g. jnp.bfloat16) for the forward/backward while the caller's
+    master params stay f32 (grads flow back through the cast in f32).
+    BatchNorm statistics stay f32 (core/nn.batch_norm)."""
+    if compute_dtype is not None:
+        from ..core.nn import tree_cast
+        params = tree_cast(params, compute_dtype)
+        batch = dict(batch)
+        for k in ('rgb', 'modal1', 'modal2'):
+            if k in batch:
+                batch[k] = batch[k].astype(compute_dtype)
     x1 = assemble_pair_input(batch, use_rgb, swap=False)
     x2 = assemble_pair_input(batch, use_rgb, swap=True)
     if fused:
@@ -66,10 +89,12 @@ def make_insta_order_o(apply_fn, cfg, hyper):
     (reference supervised_order.py:496-548)."""
     use_rgb = hyper.get('use_rgb', False)
     fused = hyper.get('fused_siamese', True)
+    cdt = _compute_dtype(hyper)
 
     def loss_fn(params, stats, batch, train=True):
         o1, o2, new_stats = _double_forward(apply_fn, cfg, params, stats,
-                                            batch, use_rgb, train, fused)
+                                            batch, use_rgb, train, fused,
+                                            cdt)
         occ1 = batch['occ_order']
         occ2 = L.swap_occ_columns(occ1)
         # fused stable sigmoid+BCE (value-identical to the reference's
@@ -85,10 +110,12 @@ def make_order_net(apply_fn, cfg, hyper):
     0<->1 label swap (reference supervised_order.py:442-493)."""
     use_rgb = hyper.get('use_rgb', False)
     fused = hyper.get('fused_siamese', True)
+    cdt = _compute_dtype(hyper)
 
     def loss_fn(params, stats, batch, train=True):
         o1, o2, new_stats = _double_forward(apply_fn, cfg, params, stats,
-                                            batch, use_rgb, train, fused)
+                                            batch, use_rgb, train, fused,
+                                            cdt)
         sm1 = jax.nn.softmax(o1, axis=-1)
         sm2 = jax.nn.softmax(o2, axis=-1)
         lab1 = batch['label']
@@ -106,10 +133,12 @@ def make_insta_order_d(apply_fn, cfg, hyper):
     fused = hyper.get('fused_siamese', True)
     ow = hyper['overlap_weight']
     dw = hyper['distinct_weight']
+    cdt = _compute_dtype(hyper)
 
     def loss_fn(params, stats, batch, train=True):
         o1, o2, new_stats = _double_forward(apply_fn, cfg, params, stats,
-                                            batch, use_rgb, train, fused)
+                                            batch, use_rgb, train, fused,
+                                            cdt)
         sm1 = jax.nn.softmax(o1, axis=-1)
         sm2 = jax.nn.softmax(o2, axis=-1)
         d1 = batch['depth_order']
@@ -133,10 +162,12 @@ def make_insta_order_od(apply_fn, cfg, hyper):
     fused = hyper.get('fused_siamese', True)
     ow = hyper['overlap_weight']
     dw = hyper['distinct_weight']
+    cdt = _compute_dtype(hyper)
 
     def loss_fn(params, stats, batch, train=True):
         (occ_o1, dep_o1), (occ_o2, dep_o2), new_stats = _double_forward(
-            apply_fn, cfg, params, stats, batch, use_rgb, train, fused)
+            apply_fn, cfg, params, stats, batch, use_rgb, train, fused,
+            cdt)
         sm1 = jax.nn.softmax(dep_o1, axis=-1)
         sm2 = jax.nn.softmax(dep_o2, axis=-1)
         d1 = batch['depth_order']

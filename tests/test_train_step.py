@@ -151,3 +151,29 @@ def test_grad_sync_equals_global_mean():
     flat2 = jax.tree_util.tree_leaves(g_mesh)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bf16_mixed_precision_training():
+    """compute_dtype='bf16': params stay f32, loss finite and decreases
+    with a learnable constant target."""
+    mesh = make_mesh(8)
+    params, stats, cfg = tiny_model(jax.random.PRNGKey(6), 2)
+    loss_fn = make_loss('InstaOrderNet_o', resnet.apply, cfg,
+                        {'use_rgb': True, 'compute_dtype': 'bf16'})
+    opt = SGD(momentum=0.9, weight_decay=1e-4)
+    step = build_train_step(loss_fn, opt, mesh)
+    batch = synthetic_occ_batch(16, seed=13)
+    batch['occ_order'] = np.tile(np.array([[1.0, 1.0]], np.float32),
+                                 (16, 1))
+    batch = shard_batch(batch, mesh)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(10):
+        params, stats, opt_state, logs = step(params, stats, opt_state,
+                                              batch, 0.03)
+        losses.append(float(logs['loss']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.05, losses
+    # master params remain f32
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == np.float32
