@@ -50,7 +50,11 @@ class OrderPredictor:
     """
 
     def __init__(self, apply_fn, cfg, params, stats, method,
-                 patch_or_image='patch', input_size=256, use_rgb=True):
+                 patch_or_image='patch', input_size=256, use_rgb=True,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards the 2P pair batch
+        over the `data` axis so one image's pairs spread across chips
+        (the "pair sharding" scale axis, SURVEY.md §5)."""
         self.apply_fn = apply_fn
         self.cfg = cfg
         self.params = params
@@ -59,11 +63,25 @@ class OrderPredictor:
         self.patch_or_image = patch_or_image
         self.input_size = input_size
         self.use_rgb = use_rgb
+        self.mesh = mesh
 
-        @functools.partial(jax.jit, static_argnames=())
-        def _forward(params, stats, x):
-            out, _ = apply_fn(params, stats, cfg, x, train=False)
-            return out
+        if mesh is None:
+            @functools.partial(jax.jit, static_argnames=())
+            def _forward(params, stats, x):
+                out, _ = apply_fn(params, stats, cfg, x, train=False)
+                return out
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def _fwd(params, stats, x):
+                out, _ = apply_fn(params, stats, cfg, x, train=False)
+                return out
+
+            _forward = jax.jit(shard_map(
+                _fwd, mesh=mesh,
+                in_specs=(P(), P(), P('data')),
+                out_specs=P('data'), check_vma=False))
 
         self._forward = _forward
 

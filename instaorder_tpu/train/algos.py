@@ -52,13 +52,17 @@ def assemble_pair_input(batch, use_rgb: bool, swap: bool):
 
 
 def _double_forward(apply_fn, cfg, params, stats, batch, use_rgb, train,
-                    fused=True, compute_dtype=None):
+                    fused=True, compute_dtype=None, remat=False):
     """Returns (out1, out2, new_stats); out* may be tuples (dual head).
 
     compute_dtype: mixed-precision policy — cast params + inputs to this
     dtype (e.g. jnp.bfloat16) for the forward/backward while the caller's
     master params stay f32 (grads flow back through the cast in f32).
-    BatchNorm statistics stay f32 (core/nn.batch_norm)."""
+    BatchNorm statistics stay f32 (core/nn.batch_norm).
+
+    remat: rematerialise the forward under grad (jax.checkpoint) —
+    trades recompute for activation memory, enabling larger per-chip
+    batches."""
     if compute_dtype is not None:
         from ..core.nn import tree_cast
         params = tree_cast(params, compute_dtype)
@@ -66,12 +70,17 @@ def _double_forward(apply_fn, cfg, params, stats, batch, use_rgb, train,
         for k in ('rgb', 'modal1', 'modal2'):
             if k in batch:
                 batch[k] = batch[k].astype(compute_dtype)
+
+    def fwd(p, s, x):
+        return apply_fn(p, s, cfg, x, train=train)
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
     x1 = assemble_pair_input(batch, use_rgb, swap=False)
     x2 = assemble_pair_input(batch, use_rgb, swap=True)
     if fused:
-        out, new_stats = apply_fn(params, stats, cfg,
-                                  jnp.concatenate([x1, x2], axis=0),
-                                  train=train)
+        out, new_stats = fwd(params, stats,
+                             jnp.concatenate([x1, x2], axis=0))
         n = x1.shape[0]
         if isinstance(out, tuple):
             out1 = tuple(o[:n] for o in out)
@@ -79,8 +88,8 @@ def _double_forward(apply_fn, cfg, params, stats, batch, use_rgb, train,
         else:
             out1, out2 = out[:n], out[n:]
         return out1, out2, new_stats
-    out1, s1 = apply_fn(params, stats, cfg, x1, train=train)
-    out2, s2 = apply_fn(params, s1, cfg, x2, train=train)
+    out1, s1 = fwd(params, stats, x1)
+    out2, s2 = fwd(params, s1, x2)
     return out1, out2, s2
 
 
@@ -90,11 +99,12 @@ def make_insta_order_o(apply_fn, cfg, hyper):
     use_rgb = hyper.get('use_rgb', False)
     fused = hyper.get('fused_siamese', True)
     cdt = _compute_dtype(hyper)
+    remat = hyper.get('remat', False)
 
     def loss_fn(params, stats, batch, train=True):
         o1, o2, new_stats = _double_forward(apply_fn, cfg, params, stats,
                                             batch, use_rgb, train, fused,
-                                            cdt)
+                                            cdt, remat)
         occ1 = batch['occ_order']
         occ2 = L.swap_occ_columns(occ1)
         # fused stable sigmoid+BCE (value-identical to the reference's
@@ -111,11 +121,12 @@ def make_order_net(apply_fn, cfg, hyper):
     use_rgb = hyper.get('use_rgb', False)
     fused = hyper.get('fused_siamese', True)
     cdt = _compute_dtype(hyper)
+    remat = hyper.get('remat', False)
 
     def loss_fn(params, stats, batch, train=True):
         o1, o2, new_stats = _double_forward(apply_fn, cfg, params, stats,
                                             batch, use_rgb, train, fused,
-                                            cdt)
+                                            cdt, remat)
         sm1 = jax.nn.softmax(o1, axis=-1)
         sm2 = jax.nn.softmax(o2, axis=-1)
         lab1 = batch['label']
@@ -134,11 +145,12 @@ def make_insta_order_d(apply_fn, cfg, hyper):
     ow = hyper['overlap_weight']
     dw = hyper['distinct_weight']
     cdt = _compute_dtype(hyper)
+    remat = hyper.get('remat', False)
 
     def loss_fn(params, stats, batch, train=True):
         o1, o2, new_stats = _double_forward(apply_fn, cfg, params, stats,
                                             batch, use_rgb, train, fused,
-                                            cdt)
+                                            cdt, remat)
         sm1 = jax.nn.softmax(o1, axis=-1)
         sm2 = jax.nn.softmax(o2, axis=-1)
         d1 = batch['depth_order']
@@ -163,11 +175,12 @@ def make_insta_order_od(apply_fn, cfg, hyper):
     ow = hyper['overlap_weight']
     dw = hyper['distinct_weight']
     cdt = _compute_dtype(hyper)
+    remat = hyper.get('remat', False)
 
     def loss_fn(params, stats, batch, train=True):
         (occ_o1, dep_o1), (occ_o2, dep_o2), new_stats = _double_forward(
             apply_fn, cfg, params, stats, batch, use_rgb, train, fused,
-            cdt)
+            cdt, remat)
         sm1 = jax.nn.softmax(dep_o1, axis=-1)
         sm2 = jax.nn.softmax(dep_o2, axis=-1)
         d1 = batch['depth_order']

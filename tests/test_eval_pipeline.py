@@ -102,3 +102,21 @@ def test_orig_mode():
                           'InstaOrderNet_o', 'orig', input_size=None)
     got = pred.infer_occ_order(image, masks, bboxes)
     assert got.shape == (4, 4)
+
+
+def test_pair_sharded_predictor_matches_single():
+    """OrderPredictor with a data mesh: pair-sharded forward must produce
+    identical matrices."""
+    from instaorder_tpu.parallel import make_mesh
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(9), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(4)
+    single = OrderPredictor(resnet.apply, cfg, params, stats,
+                            'InstaOrderNet_o', 'patch', input_size=64)
+    sharded = OrderPredictor(resnet.apply, cfg, params, stats,
+                             'InstaOrderNet_o', 'patch', input_size=64,
+                             mesh=make_mesh(8))
+    m1 = single.infer_occ_order(image, masks, bboxes)
+    m2 = sharded.infer_occ_order(image, masks, bboxes)
+    np.testing.assert_array_equal(m1, m2)

@@ -177,3 +177,28 @@ def test_bf16_mixed_precision_training():
     # master params remain f32
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.dtype == np.float32
+
+
+def test_remat_training_matches_no_remat():
+    """jax.checkpoint policy: identical loss/grads, lower peak memory."""
+    params, stats, cfg = tiny_model(jax.random.PRNGKey(7), 2)
+    batch = synthetic_occ_batch(4, seed=17)
+    base = make_loss('InstaOrderNet_o', resnet.apply, cfg,
+                     {'use_rgb': True})
+    rem = make_loss('InstaOrderNet_o', resnet.apply, cfg,
+                    {'use_rgb': True, 'remat': True})
+
+    def g(fn):
+        def f(p):
+            l, _ = fn(p, stats, batch, train=True)
+            return l
+        return jax.grad(f)(params)
+
+    g1 = g(base)
+    g2 = g(rem)
+    l1, _ = base(params, stats, batch, train=True)
+    l2, _ = rem(params, stats, batch, train=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
