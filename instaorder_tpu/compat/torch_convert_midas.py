@@ -78,9 +78,10 @@ def _rcu(sd, pre):
 
 
 def midas_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
-    """-> (params, stats) for models/midas.apply."""
+    """-> (params, stats) for models/midas.apply. Stage block counts come
+    from the cfg built by midas.init (supports trimmed test variants)."""
     sd = strip_prefix(sd)
-    layers_trunk = (3, 4, 23, 3)   # resnext101
+    layers_trunk = tuple(cfg['trunk_cfg']['layers'])
     p, s = {}, {}
     tp, ts = _headless_resnet(sd, 'pretrained.', layers_trunk)
     p['trunk'] = tp
@@ -95,8 +96,10 @@ def midas_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
         p[name] = {'w': conv_w(sd[f'scratch.output_conv.{idx}.weight']),
                    'b': jnp.asarray(_np(sd[f'scratch.output_conv.{idx}.bias']))}
 
-    layers_branch = (3, 4, 6, 3)   # resnet50
     variant = cfg['variant']
+    branch_cfg_key = 'gdo_cfg' if variant == 'instadepthnet_d' else 'do_cfg'
+    layers_branch = (tuple(cfg[branch_cfg_key]['layers'])
+                     if branch_cfg_key in cfg else (3, 4, 6, 3))
     if variant == 'instadepthnet_d':
         bp, bs = _headless_resnet(sd, 'gdo_net.', layers_branch)
         p['gdo'] = {'net': bp, 'fc': {'w': linear_w(sd['fc.weight']),

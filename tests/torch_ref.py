@@ -183,3 +183,76 @@ class TorchFusion(nn.Module):
         out = self.resConfUnit2(out)
         return nn.functional.interpolate(out, scale_factor=2,
                                          mode='bilinear', align_corners=True)
+
+
+class TorchMidasOracle(nn.Module):
+    """Compact MidasNet/InstaDepthNet oracle using the reference's exact
+    state-dict naming (pretrained.layer1 = Sequential(conv1, bn1, relu,
+    maxpool, layer1); scratch.layerN_rn; refinenets; output_conv;
+    do_net/oo_net branch repacks + depth_fc/occ_fc)."""
+
+    def __init__(self, trunk_layers=(1, 1, 1, 1),
+                 branch_layers=(1, 1, 1, 1), features=32, variant='od',
+                 groups=32, base_width=8):
+        super().__init__()
+        self.variant = variant
+
+        def headless(in_ch, layers, g, bw):
+            net = TorchResNetCls(layers, in_ch, 1, g, bw)
+            body = nn.Module()
+            body.layer1 = nn.Sequential(net.conv1, net.bn1, net.relu,
+                                        net.maxpool, net.layer1)
+            body.layer2 = net.layer2
+            body.layer3 = net.layer3
+            body.layer4 = net.layer4
+            return body
+
+        self.pretrained = headless(3, trunk_layers, groups, base_width)
+        self.scratch = nn.Module()
+        for i, cin in enumerate((256, 512, 1024, 2048), 1):
+            setattr(self.scratch, f'layer{i}_rn',
+                    nn.Conv2d(cin, features, 3, padding=1, bias=False))
+        for i in range(1, 5):
+            setattr(self.scratch, f'refinenet{i}', TorchFusion(features))
+        self.scratch.output_conv = nn.Sequential(
+            nn.Conv2d(features, 128, 3, padding=1),
+            nn.Identity(),  # placeholder: upsample applied in forward
+            nn.Conv2d(128, 32, 3, padding=1), nn.ReLU(True),
+            nn.Conv2d(32, 1, 1), nn.ReLU(True))
+        if variant == 'od':
+            self.do_net = headless(2, branch_layers, 1, 64)
+            self.oo_net = headless(2, branch_layers, 1, 64)
+            self.depth_fc = nn.Linear(2048, 3)
+            self.occ_fc = nn.Linear(2048, 2)
+
+    def forward(self, img, mask1=None, mask2=None):
+        l1 = self.pretrained.layer1(img)
+        l2 = self.pretrained.layer2(l1)
+        l3 = self.pretrained.layer3(l2)
+        l4 = self.pretrained.layer4(l3)
+        rn = [getattr(self.scratch, f'layer{i}_rn')(t)
+              for i, t in enumerate((l1, l2, l3, l4), 1)]
+        p4 = self.scratch.refinenet4(rn[3])
+        p3 = self.scratch.refinenet3(p4, rn[2])
+        p2 = self.scratch.refinenet2(p3, rn[1])
+        p1 = self.scratch.refinenet1(p2, rn[0])
+        oc = self.scratch.output_conv
+        h = oc[0](p1)
+        h = nn.functional.interpolate(h, scale_factor=2, mode='bilinear',
+                                      align_corners=False)
+        h2 = torch.relu(oc[2](h))
+        disp = torch.relu(oc[4](h2))
+        if self.variant != 'od':
+            return disp.squeeze(1)
+        x = torch.cat([mask1, mask2], dim=1)
+        d1 = self.do_net.layer1(x)
+        d2 = self.do_net.layer2(d1 + l1)
+        d3 = self.do_net.layer3(d2 + l2)
+        d4 = self.do_net.layer4(d3 + l3)
+        depth = self.depth_fc(d4.mean(dim=(2, 3)))
+        o1 = self.oo_net.layer1(x)
+        o2 = self.oo_net.layer2(o1 + l1)
+        o3 = self.oo_net.layer3(o2 + l2)
+        o4 = self.oo_net.layer4(o3 + l3)
+        occ = self.occ_fc(o4.mean(dim=(2, 3)))
+        return disp.squeeze(1), depth, occ
