@@ -69,6 +69,10 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False):
         x = x.astype(dtype)
         params = cnn.tree_cast(params, dtype)
         swapped_conv1 = cnn.tree_cast(swapped_conv1, dtype)
+    # NB: ops/pallas_blocks.fused_stem exists and passes interpret-mode
+    # parity, but the current Mosaic toolchain rejects its stride-2
+    # VMEM loads/shape-casts at 256^2 bf16 — the XLA stem stays in use
+    # (round-2: de-interleaved parity buffers to make taps unit-stride).
     h1 = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
     h2 = cnn.conv2d(swapped_conv1, x, stride=2, padding=3)
     h = jax.nn.relu(jnp.concatenate([h1, h2], axis=0))

@@ -186,3 +186,83 @@ def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
         interpret=interpret,
     )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
       b3.astype(jnp.float32))
+
+
+def _stem_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, hp_ref):
+    """Fused ResNet stem: conv 7x7/2 (pad 3) + bias + relu + maxpool
+    3x3/2 (pad 1), all VMEM-resident. One image tile per grid step.
+
+    x_ref: (B, H, W, C); out: (B, H//4, W//4, Cout).
+    xp_ref: (B, H+6, W+6, C) zero-padded input scratch.
+    hp_ref: (B, H//2+2, W//2+2, Cout) conv output scratch (padded with
+    -inf for the maxpool)."""
+    B, H, W, C = x_ref.shape
+    Cout = w_ref.shape[-1]
+    Ho, Wo = H // 2, W // 2
+
+    # NB: scratch is f32 — Mosaic only implements strided (stride-2)
+    # VMEM loads for 32-bit data; taps are cast back after the load.
+    xp_ref[:] = jnp.zeros_like(xp_ref)
+    xp_ref[:, 3:H + 3, 3:W + 3, :] = x_ref[:].astype(xp_ref.dtype)
+
+    # im2col over the 49 taps at stride 2 -> (B*Ho*Wo, 49*C)
+    cols = jnp.concatenate(
+        [xp_ref[:, dy:dy + H:2, dx:dx + W:2, :]
+         .reshape(B * Ho * Wo, C).astype(x_ref.dtype)
+         for dy in range(7) for dx in range(7)], axis=1)
+    h = jnp.dot(cols, w_ref[:].reshape(49 * C, Cout),
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b_ref[:], 0.0).astype(x_ref.dtype)
+
+    neg = jnp.asarray(-jnp.inf, x_ref.dtype)
+    hp_ref[:] = jnp.full_like(hp_ref, neg)
+    hp_ref[:, 1:Ho + 1, 1:Wo + 1, :] = h.reshape(B, Ho, Wo, Cout)
+
+    # maxpool 3x3 stride 2 pad 1 -> (B, Ho//2, Wo//2, Cout)
+    Hq, Wq = Ho // 2, Wo // 2
+    pooled = None
+    for dy in range(3):
+        for dx in range(3):
+            win = hp_ref[:, dy:dy + Ho:2, dx:dx + Wo:2, :]
+            pooled = win if pooled is None else jnp.maximum(pooled, win)
+    out_ref[:] = pooled
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+def fused_stem(x, w, b, interpret=False, batch_tile=1):
+    """x: (N, H, W, C); w: (7, 7, C, Cout) HWIO; b: (Cout,).
+    Returns (N, H//4, W//4, Cout) — the conv1+relu+maxpool stem with the
+    intermediate 2x-resolution conv output never touching HBM."""
+    N, H, W, C = x.shape
+    Cout = w.shape[-1]
+    B = batch_tile
+    assert N % B == 0 and H % 4 == 0 and W % 4 == 0
+
+    return pl.pallas_call(
+        _stem_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((B, H, W, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, H // 4, W // 4, Cout),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H // 4, W // 4, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, H + 6, W + 6, C), jnp.float32),
+            pltpu.VMEM((B, H // 2 + 2, W // 2 + 2, Cout), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w, b.astype(jnp.float32))
+
+
+def stem_reference(x, w, b):
+    """XLA reference stem for parity tests."""
+    from ..core import nn as cnn
+    h = jax.nn.relu(cnn.conv2d({'w': w, 'b': b}, x, stride=2, padding=3))
+    return cnn.max_pool(h, 3, 2, 1)

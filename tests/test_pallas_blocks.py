@@ -95,3 +95,17 @@ def test_fused_stage_parity():
                                  interpret=True, batch_tile=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
+
+
+def test_fused_stem_parity():
+    from instaorder_tpu.ops.pallas_blocks import fused_stem, stem_reference
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 32, 32, 5).astype(np.float32)
+    w = rng.randn(7, 7, 5, 64).astype(np.float32) * 0.05
+    b = rng.randn(64).astype(np.float32) * 0.1
+    want = np.asarray(stem_reference(jnp.asarray(x), jnp.asarray(w),
+                                     jnp.asarray(b)))
+    got = np.asarray(fused_stem(jnp.asarray(x), jnp.asarray(w),
+                                jnp.asarray(b), interpret=True,
+                                batch_tile=2))
+    np.testing.assert_allclose(got, want, atol=1e-5)
