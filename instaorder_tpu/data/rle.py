@@ -146,6 +146,10 @@ def from_polygon(xy, h: int, w: int) -> dict:
     maskUtils.frPyObjects for a single polygon.
     """
     xy = np.asarray(xy, dtype=np.float64)
+    if 'polygon_to_counts' in _NATIVE:
+        counts = _NATIVE['polygon_to_counts'](xy, int(h), int(w))
+        return {'size': [int(h), int(w)],
+                'counts': counts_to_string(counts)}
     k = len(xy) // 2
     scale = 5.0
     x = np.floor(scale * xy[0::2] + 0.5).astype(np.int64)

@@ -59,6 +59,11 @@ def load(build_if_missing=True):
     lib.rle_encode_mask.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.rle_from_polygon.restype = ctypes.c_int64
+    lib.rle_from_polygon.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
 
     _lib = lib
     _register()
@@ -100,7 +105,20 @@ def encode_mask(mask: np.ndarray) -> np.ndarray:
     return buf[:n].copy()
 
 
+def polygon_to_counts(xy: np.ndarray, h: int, w: int) -> np.ndarray:
+    xy = np.ascontiguousarray(xy, dtype=np.float64)
+    k = xy.size // 2
+    buf = np.empty(h * w + 2, dtype=np.int64)
+    n = _lib.rle_from_polygon(
+        xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), k, h, w,
+        _i64p(buf), buf.size)
+    if n < 0:
+        raise ValueError('polygon rasterisation overflow')
+    return buf[:n].copy()
+
+
 def _register():
     from ..data import rle
     rle._NATIVE['string_to_counts'] = string_to_counts
     rle._NATIVE['decode_counts'] = decode_counts
+    rle._NATIVE['polygon_to_counts'] = polygon_to_counts

@@ -8,8 +8,11 @@
 //
 // Build: make -C instaorder_tpu/native
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -121,3 +124,95 @@ int64_t rle_area_counts(const int64_t* counts, int64_t n) {
 }
 
 }  // extern "C"
+
+// Polygon -> counts rasterisation (pycocotools rleFrPoly-compatible:
+// upsample-by-5 boundary walk, left-edge crossings, sorted toggles).
+// xy: flat [x0,y0,...] doubles, k vertices. Writes counts; returns the
+// number of counts, or -1 on overflow.
+extern "C" int64_t rle_from_polygon(const double* xy, int64_t k, int64_t h,
+                                    int64_t w, int64_t* counts,
+                                    int64_t max_counts) {
+    if (k < 1) return -1;
+    const double scale = 5.0;
+    // upscaled integer vertices (closed)
+    std::int64_t* vx = new std::int64_t[k + 1];
+    std::int64_t* vy = new std::int64_t[k + 1];
+    for (int64_t j = 0; j < k; j++) {
+        vx[j] = (std::int64_t)std::floor(scale * xy[2 * j] + 0.5);
+        vy[j] = (std::int64_t)std::floor(scale * xy[2 * j + 1] + 0.5);
+    }
+    vx[k] = vx[0];
+    vy[k] = vy[0];
+    // dense boundary points
+    int64_t m = 0;
+    for (int64_t j = 0; j < k; j++) {
+        int64_t dx = std::llabs(vx[j + 1] - vx[j]);
+        int64_t dy = std::llabs(vy[j] - vy[j + 1]);
+        m += (dx > dy ? dx : dy) + 1;
+    }
+    std::int64_t* u = new std::int64_t[m];
+    std::int64_t* v = new std::int64_t[m];
+    m = 0;
+    for (int64_t j = 0; j < k; j++) {
+        std::int64_t xs = vx[j], xe = vx[j + 1];
+        std::int64_t ys = vy[j], ye = vy[j + 1];
+        std::int64_t dx = std::llabs(xe - xs), dy = std::llabs(ys - ye);
+        bool flip = (dx >= dy && xs > xe) || (dx < dy && ys > ye);
+        if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
+        if (dx >= dy) {
+            double s = dx > 0 ? (double)(ye - ys) / dx : 0.0;
+            for (int64_t d = 0; d <= dx; d++) {
+                std::int64_t t = flip ? dx - d : d;
+                u[m] = t + xs;
+                v[m] = (std::int64_t)std::floor(ys + s * t + 0.5);
+                m++;
+            }
+        } else {
+            double s = dy > 0 ? (double)(xe - xs) / dy : 0.0;
+            for (int64_t d = 0; d <= dy; d++) {
+                std::int64_t t = flip ? dy - d : d;
+                v[m] = t + ys;
+                u[m] = (std::int64_t)std::floor(xs + s * t + 0.5);
+                m++;
+            }
+        }
+    }
+    // left-edge crossings, downsample by `scale`
+    std::vector<std::int64_t> a;
+    a.reserve(m + 1);
+    for (int64_t j = 1; j < m; j++) {
+        if (u[j] == u[j - 1]) continue;
+        double xd = (double)(u[j] < u[j - 1] ? u[j] : u[j] - 1);
+        xd = (xd + 0.5) / scale - 0.5;
+        if (std::floor(xd) != xd || xd < 0 || xd > w - 1) continue;
+        double yd = (double)(v[j] < v[j - 1] ? v[j] : v[j - 1]);
+        yd = (yd + 0.5) / scale - 0.5;
+        if (yd < 0) yd = 0;
+        else if (yd > (double)h) yd = (double)h;
+        yd = std::ceil(yd);
+        a.push_back((std::int64_t)xd * h + (std::int64_t)yd);
+    }
+    a.push_back(h * w);
+    std::sort(a.begin(), a.end());
+    // deltas + toggle collapse into counts
+    std::int64_t prev = 0;
+    std::vector<std::int64_t> d;
+    d.reserve(a.size());
+    for (auto t : a) { d.push_back(t - prev); prev = t; }
+    int64_t mm = 0;
+    int64_t j = 0;
+    int64_t n = (int64_t)d.size();
+    if (mm >= max_counts) { delete[] vx; delete[] vy; delete[] u; delete[] v; return -1; }
+    counts[mm++] = d[j++];
+    while (j < n) {
+        if (d[j] > 0) {
+            if (mm >= max_counts) { delete[] vx; delete[] vy; delete[] u; delete[] v; return -1; }
+            counts[mm++] = d[j++];
+        } else {
+            j++;
+            if (j < n) counts[mm - 1] += d[j++];
+        }
+    }
+    delete[] vx; delete[] vy; delete[] u; delete[] v;
+    return mm;
+}

@@ -73,3 +73,34 @@ def test_native_is_faster(lib):
     py_t = time.perf_counter() - t0
     rle._NATIVE['decode_counts'] = dec
     assert native_t < py_t  # typically 5-50x faster
+
+
+def test_native_polygon_matches_python(lib):
+    rng = np.random.RandomState(11)
+    for trial in range(6):
+        k = rng.randint(3, 9)
+        poly = (rng.rand(2 * k) * np.array([120.0, 90.0] * k)).tolist()
+        h, w = 90, 120
+        # python reference (bypass the registered native hook)
+        nat = rle._NATIVE.pop('polygon_to_counts')
+        want = rle.from_polygon(poly, h, w)
+        rle._NATIVE['polygon_to_counts'] = nat
+        got = rle.from_polygon(poly, h, w)
+        assert got['counts'] == want['counts'], f'trial {trial}'
+
+
+def test_native_polygon_speed(lib):
+    import time
+    rng = np.random.RandomState(12)
+    poly = (rng.rand(40) * 400).tolist()
+    nat = rle._NATIVE.pop('polygon_to_counts')
+    t0 = time.perf_counter()
+    for _ in range(20):
+        rle.from_polygon(poly, 480, 640)
+    py_t = time.perf_counter() - t0
+    rle._NATIVE['polygon_to_counts'] = nat
+    t0 = time.perf_counter()
+    for _ in range(20):
+        rle.from_polygon(poly, 480, 640)
+    nat_t = time.perf_counter() - t0
+    assert nat_t < py_t
