@@ -249,3 +249,52 @@ def test_cocoa_tester(tmp_path):
     t = Tester(args, n_images=2)
     out = t.run()
     assert np.isfinite(out['f1'])
+
+
+def test_loader_propagates_worker_errors(fixture):
+    from instaorder_tpu.data.loader import DataLoader
+
+    class Boom:
+        def sample(self, idx, rng):
+            raise RuntimeError('worker exploded')
+
+    loader = DataLoader(Boom(), [0, 1, 2, 3], batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match='worker exploded'):
+        next(iter(loader))
+
+
+def test_checkpoint_lenient_load_warns(tmp_path):
+    import jax
+    from instaorder_tpu.core import checkpoint as C
+    from instaorder_tpu.models import resnet
+    p, s, cfg = resnet.init(jax.random.PRNGKey(0), arch='resnet50',
+                            in_channels=5, num_classes=2,
+                            layers_override=(1, 1, 1, 1))
+    path = C.save_state(str(tmp_path), 7, p, s)
+    # target with an extra head -> missing key warning, kept initialized
+    p2, s2, cfg2 = resnet.init(jax.random.PRNGKey(1), arch='resnet50',
+                               in_channels=5, num_classes=[2, 3],
+                               layers_override=(1, 1, 1, 1))
+    warnings = []
+    step, lp, ls, _ = C.load_state(path, p2, s2, warn=warnings.append)
+    assert step == 7
+    assert any('fc_occ' in w or 'fc_depth' in w for w in warnings)
+    # conv1 was loaded from the checkpoint
+    np.testing.assert_array_equal(np.asarray(lp['conv1']['w']),
+                                  np.asarray(p['conv1']['w']))
+    # fc_occ kept its (target) initialization
+    np.testing.assert_array_equal(np.asarray(lp['fc_occ']['w']),
+                                  np.asarray(p2['fc_occ']['w']))
+
+
+def test_checkpoint_parse_iter_and_latest(tmp_path):
+    import jax
+    from instaorder_tpu.core import checkpoint as C
+    from instaorder_tpu.models import resnet
+    p, s, _ = resnet.init(jax.random.PRNGKey(0), arch='resnet18',
+                          in_channels=2, num_classes=2,
+                          layers_override=(1, 1, 1, 1))
+    C.save_state(str(tmp_path), 10, p, s)
+    C.save_state(str(tmp_path), 200, p, s)
+    assert C.parse_iter('foo/ckpt_iter_4200.ckpt') == 4200
+    assert C.latest_checkpoint(str(tmp_path)).endswith('ckpt_iter_200.ckpt')
