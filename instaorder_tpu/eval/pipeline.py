@@ -192,3 +192,26 @@ class OrderPredictor:
         dep = np.asarray(D.depth_matrix(n, jnp.asarray(pair_idx), arg,
                                         valid))
         return occ, dep
+
+
+def make_folded_predictor(params, stats, cfg, method, dtype=None,
+                          use_pallas=False, **kw):
+    """Serving-grade OrderPredictor over a BN-folded (optionally bf16)
+    ResNet — the bench fast path exposed for evaluation. f32 folded is
+    numerically equal to the stock eval forward (up to fp reassociation);
+    bf16 trades ~1e-2 logit noise for ~2x throughput (threshold-adjacent
+    decisions may flip — use the default f32 predictor for strict parity
+    runs).
+    """
+    from ..models.folding import fold_resnet, apply_folded
+    from ..core.nn import tree_cast
+
+    folded = fold_resnet(params, stats, cfg)
+    if dtype is not None:
+        folded = tree_cast(folded, dtype)
+
+    def apply_fn(p, s, c, x, train=False):
+        return apply_folded(p, c, x, dtype=dtype,
+                            use_pallas=use_pallas), s
+
+    return OrderPredictor(apply_fn, cfg, folded, stats, method, **kw)

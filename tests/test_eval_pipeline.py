@@ -120,3 +120,18 @@ def test_pair_sharded_predictor_matches_single():
     m1 = single.infer_occ_order(image, masks, bboxes)
     m2 = sharded.infer_occ_order(image, masks, bboxes)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_folded_predictor_matches_stock_f32():
+    from instaorder_tpu.eval.pipeline import make_folded_predictor
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(11), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(6)
+    stock = OrderPredictor(resnet.apply, cfg, params, stats,
+                           'InstaOrderNet_o', 'patch', input_size=64)
+    fast = make_folded_predictor(params, stats, cfg, 'InstaOrderNet_o',
+                                 patch_or_image='patch', input_size=64)
+    m1 = stock.infer_occ_order(image, masks, bboxes)
+    m2 = fast.infer_occ_order(image, masks, bboxes)
+    np.testing.assert_array_equal(m1, m2)
