@@ -163,3 +163,26 @@ def test_tester_heuristic_defaults_match_reference():
     t.args = args
     pred = t._predict_occ(None, masks, None)
     assert pred[0, 1] == 1 and pred[1, 0] == 0  # larger occludes
+
+
+def test_tester_depth_eval(fixture):
+    """eval_depth_order through the Tester (SupDepthOrderDataset config):
+    WHDR slices produced, area/yaxis heuristics also run."""
+    args = make_args(fixture)
+    args.model = {'algo': 'InstaOrderNet_d',
+                  'backbone_arch': 'resnet50_cls',
+                  'backbone_param': {'in_channels': 5, 'num_classes': 3,
+                                     'layers_override': (1, 1, 1, 1)},
+                  'use_rgb': True}
+    args.data['trainval_dataset'] = 'SupDepthOrderDataset'
+    args.order_method = ''
+    from instaorder_tpu.eval.tester import Tester
+    out = Tester(args, n_images=2).run()
+    assert 'WHDR_ovlOX_all' in out and np.isfinite(out['WHDR_ovlOX_all'])
+
+    for method in ('area', 'yaxis'):
+        args2 = make_args(fixture)
+        args2.data['trainval_dataset'] = 'SupDepthOrderDataset'
+        args2.order_method = method
+        out2 = Tester(args2, n_images=2).run()
+        assert 'WHDR_ovlOX_all' in out2
