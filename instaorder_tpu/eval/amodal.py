@@ -16,7 +16,6 @@ matrices.
 
 from __future__ import annotations
 
-import functools
 
 import cv2
 import numpy as np

@@ -11,7 +11,6 @@ batched+jitted; GT readback and metric accumulation stay on host.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import numpy as np

@@ -8,7 +8,6 @@ midas/transforms.py:48-180) for the eval 'resize'/'orig' modes.
 
 from __future__ import annotations
 
-import math
 import re
 
 import numpy as np
