@@ -215,3 +215,64 @@ def make_folded_predictor(params, stats, cfg, method, dtype=None,
                             use_pallas=use_pallas), s
 
     return OrderPredictor(apply_fn, cfg, folded, stats, method, **kw)
+
+
+class DisparityOrderPredictor:
+    """Depth-order from a disparity map (reference net_forward_midas_
+    pretrained + the disp_select_method branch of infer_order_sup_depth,
+    inference.py:79-104, 582-605): predict disparity ONCE per image,
+    compute each instance's region depth (mean/median of 1/disp
+    quantile-clipped inside its mask), then compare per pair.
+
+    forward: (1, sz, sz, 3) normalized NHWC -> (1, h', w') disparity.
+    """
+
+    def __init__(self, forward, select_method='median', input_size=384):
+        assert select_method in ('mean', 'median')
+        self.forward = forward
+        self.select = select_method
+        self.input_size = input_size
+
+        @jax.jit
+        def _region_depths(disp, masks_resized):
+            pixel_depth = 1.0 / (disp + 1e-6)
+
+            def one(m):
+                vals = jnp.where(m > 0.5, pixel_depth, jnp.nan)
+                lo = jnp.nanquantile(vals, 0.05)
+                hi = jnp.nanquantile(vals, 0.95)
+                c = jnp.clip(vals, lo, hi)
+                return (jnp.nanmedian(c) if select_method == 'median'
+                        else jnp.nanmean(c))
+
+            return jax.vmap(one)(masks_resized)
+
+        self._region_depths = _region_depths
+
+    def infer_depth_order(self, image, masks, bboxes=None, pairs='all'):
+        from ..ops.pairs import IMAGENET_MEAN, IMAGENET_STD
+        from ..ops.resize import resize, resize_nearest
+        sz = self.input_size
+        rgb = resize(jnp.asarray(image, jnp.float32).transpose(2, 0, 1),
+                     sz, sz, 'cubic').transpose(1, 2, 0)
+        rgb = jnp.clip(jnp.round(rgb), 0.0, 255.0)
+        rgb = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        disp = self.forward(rgb[None])[0]
+        masks_r = resize_nearest(jnp.asarray(masks, jnp.float32),
+                                 disp.shape[0], disp.shape[1])
+        depths = np.asarray(self._region_depths(disp, masks_r))
+        n = masks.shape[0]
+        order = np.zeros((n, n), int)
+        if pairs == 'nbor' and n > 1:
+            border = np.asarray(bordering_matrix(jnp.asarray(masks)))
+        for i in range(n):
+            for j in range(i + 1, n):
+                if pairs == 'nbor' and not border[i, j]:
+                    continue
+                if depths[i] < depths[j]:
+                    order[i, j], order[j, i] = 1, 0
+                elif depths[i] > depths[j]:
+                    order[i, j], order[j, i] = 0, 1
+                else:
+                    order[i, j] = order[j, i] = 2
+        return order

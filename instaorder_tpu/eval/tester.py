@@ -79,6 +79,10 @@ class Tester:
         args = self.args
         if self.order_method in H_METHODS:
             return  # heuristics need no model
+        if (args.model['algo'] == 'midas_pretrained' or
+                getattr(args, 'disp_select_method', '')):
+            self.predictor = make_disparity_tester_predictor(args)
+            return
         import jax
         algo = args.model['algo']
         bb = get_backbone(args.model.get('backbone_arch', algo))
@@ -309,3 +313,17 @@ def _print_logger():
         logger.addHandler(h)
         logger.setLevel(logging.INFO)
     return logger
+
+
+def make_disparity_tester_predictor(args):
+    """Build the DisparityOrderPredictor for midas_pretrained /
+    InstaDepthNet-with-disp_select_method evaluation."""
+    from .disp import make_disp_forward
+    from .pipeline import DisparityOrderPredictor
+    algo = args.model['algo']
+    return DisparityOrderPredictor(
+        make_disp_forward(algo, getattr(args, 'load_model', None),
+                          features=args.model.get('features', 256)),
+        select_method=getattr(args, 'disp_select_method', 'median')
+        or 'median',
+        input_size=args.data['input_size'])

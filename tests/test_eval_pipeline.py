@@ -135,3 +135,21 @@ def test_folded_predictor_matches_stock_f32():
     m1 = stock.infer_occ_order(image, masks, bboxes)
     m2 = fast.infer_occ_order(image, masks, bboxes)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_disparity_order_predictor_gradient():
+    """A disparity decreasing with y: higher masks are closer."""
+    from instaorder_tpu.eval.pipeline import DisparityOrderPredictor
+
+    def fwd(x):
+        h = w = x.shape[1]
+        gy = np.linspace(1.0, 0.1, h, dtype=np.float32)
+        return np.tile(gy[None, :, None], (x.shape[0], 1, w))
+
+    pred = DisparityOrderPredictor(fwd, 'median', input_size=64)
+    image = np.zeros((100, 100, 3), np.float32)
+    masks = np.zeros((2, 100, 100), np.float32)
+    masks[0, 5:25, 10:60] = 1    # top -> larger disp -> closer
+    masks[1, 70:95, 10:60] = 1   # bottom -> farther
+    m = pred.infer_depth_order(image, masks)
+    assert m[0, 1] == 1 and m[1, 0] == 0  # 0 closer than 1
