@@ -298,3 +298,68 @@ def test_checkpoint_parse_iter_and_latest(tmp_path):
     C.save_state(str(tmp_path), 200, p, s)
     assert C.parse_iter('foo/ckpt_iter_4200.ckpt') == 4200
     assert C.latest_checkpoint(str(tmp_path)).endswith('ckpt_iter_200.ckpt')
+
+
+def test_mapillary_reader(tmp_path):
+    from PIL import Image as PILImage
+    import json as _json
+    from instaorder_tpu.data.readers import MapillaryReader
+    root = str(tmp_path)
+    os_inst = np.zeros((40, 50), np.uint16)
+    os_inst[5:20, 5:20] = 1 * 256 + 3   # category 1, instance 3
+    os_inst[25:35, 30:45] = 2 * 256 + 7  # category 2
+    import os as _os
+    _os.makedirs(f'{root}/instances', exist_ok=True)
+    PILImage.fromarray(os_inst).save(f'{root}/instances/img0.png')
+    annot = {'categories': [], 'images': [
+        {'image_id': 'img0', 'regions': [
+            {'instance_id': int(1 * 256 + 3), 'category_id': 1},
+            {'instance_id': int(2 * 256 + 7), 'category_id': 2}]}]}
+    with open(f'{root}/ann.json', 'w') as f:
+        _json.dump(annot, f)
+    r = MapillaryReader(root, f'{root}/ann.json')
+    assert r.get_image_length() == 1 and r.get_instance_length() == 2
+    modal, bbox, cat, fn, _ = r.get_instance(0)
+    assert modal.sum() == 15 * 15 and cat == 1
+    modal_all, cats, bboxes, _, fn = r.get_image_instances(0)
+    assert modal_all.shape[0] == 3  # includes background id 0
+
+
+def test_lvis_reader(tmp_path):
+    import json as _json
+    from instaorder_tpu.data.readers import KINSLVISReader
+    # LVIS-style: polygon segmentation lists
+    h, w = 40, 60
+    data = {'images': [{'id': 1, 'file_name': 'a.jpg', 'width': w,
+                        'height': h}],
+            'annotations': [
+                {'id': 10, 'image_id': 1, 'category_id': 2,
+                 'bbox': [5, 5, 20, 15],
+                 'segmentation': [[5, 5, 25, 5, 25, 20, 5, 20]]}],
+            'categories': [{'id': 2}]}
+    p = tmp_path / 'lvis.json'
+    with open(p, 'w') as f:
+        _json.dump(data, f)
+    r = KINSLVISReader('LVIS', str(p))
+    modal, cats, bboxes, _, fn = r.get_image_instances(0)
+    assert modal.shape == (1, h, w)
+    assert modal.sum() > 100 and cats[0] == 2
+
+
+def test_loader_deterministic(fixture):
+    from instaorder_tpu.data.loader import DataLoader
+    from instaorder_tpu.data.datasets import SupOcclusionOrderDataset
+    cfg = instaorder_config(fixture)
+    ds = SupOcclusionOrderDataset(cfg, 'val', 'InstaOrderNet_o')
+    def batches(seed):
+        loader = DataLoader(ds, [0, 1, 2, 3], batch_size=2, num_workers=2,
+                            seed=seed)
+        return list(loader)
+    b1 = batches(5)
+    b2 = batches(5)
+    b3 = batches(6)
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a['rgb'], b['rgb'])
+        np.testing.assert_array_equal(a['occ_order'], b['occ_order'])
+    assert any(not np.array_equal(a['rgb'], c['rgb'])
+               for a, c in zip(b1, b3))
