@@ -28,6 +28,12 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f'requested a {n_devices}-device mesh but only '
+                f'{len(devices)} devices are available '
+                f'({[d.platform for d in devices]}); a silently truncated '
+                f'mesh would fake multi-chip coverage')
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
