@@ -33,7 +33,8 @@ def main():
     ap.add_argument('--repeats', type=int, default=3,
                     help='measurement windows; best is reported')
     ap.add_argument('--warmup', type=int, default=3)
-    ap.add_argument('--dtype', default='bf16', choices=['bf16', 'f32'])
+    ap.add_argument('--dtype', default='bf16',
+                    choices=['bf16', 'f32', 'int8'])
     ap.add_argument('--instances', type=int, default=10,
                     help='instances per synthetic scene (45 pairs at 10)')
     ap.add_argument('--no-pallas', action='store_true',
@@ -52,7 +53,7 @@ def main():
     from instaorder_tpu.ops.pairs import (build_pair_batch_matmul, pair_rois,
                                           all_pair_indices)
 
-    dtype = jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32
+    dtype = jnp.float32 if args.dtype == 'f32' else jnp.bfloat16
 
     # flagship model: resnet50_cls, 5 channels, 2-sigmoid occlusion head
     params, stats, cfg = resnet.init(jax.random.PRNGKey(0), arch='resnet50',
@@ -80,23 +81,50 @@ def main():
     pair_idx_j = jnp.asarray(pair_idx)
     sz = args.input_size
 
-    @jax.jit
-    def megastep(folded_params, images, masks, bboxes):
-        """S scenes -> all-pair MXU preprocessing -> siamese forward
-        (channel swap folded into a second conv1 weight) -> decisions."""
+    def prep_all(images, masks, bboxes):
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx_j)
             return build_pair_batch_matmul(im, m, pair_idx_j, rois,
                                            out_size=sz, dtype=dtype)
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
-        x = x.reshape(-1, sz, sz, 5)
-        o1, o2 = apply_folded_siamese(folded_params, cfg, x, dtype=dtype,
-                                      use_pallas=not args.no_pallas)
-        s1 = jax.nn.sigmoid(o1)
-        s2 = jax.nn.sigmoid(o2)
-        i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5
-        j_over_i = (s1[:, 0] + s2[:, 1]) / 2 > 0.5
-        return i_over_j, j_over_i
+        return x.reshape(-1, sz, sz, 5)
+
+    if args.dtype == 'int8':
+        # PTQ: calibrate activation scales on one prepped batch (f32),
+        # quantize weights per-out-channel (models/quantize.py)
+        from instaorder_tpu.models import quantize as Q
+        calib_x = np.asarray(jax.jit(prep_all)(
+            jnp.asarray(images), jnp.asarray(masks),
+            jnp.asarray(bboxes))).astype(np.float32)
+        scales = Q.calibrate_folded_resnet(folded, cfg, [calib_x])
+        qparams = Q.quantize_folded_resnet(folded, cfg, scales)
+
+        @jax.jit
+        def megastep(qp, images, masks, bboxes):
+            x = prep_all(images, masks, bboxes)
+            o1, o2 = Q.apply_folded_int8_siamese(
+                qp, cfg, x, use_pallas=not args.no_pallas)
+            s1 = jax.nn.sigmoid(o1)
+            s2 = jax.nn.sigmoid(o2)
+            return ((s1[:, 1] + s2[:, 0]) / 2 > 0.5,
+                    (s1[:, 0] + s2[:, 1]) / 2 > 0.5)
+
+        folded = qparams
+    else:
+        @jax.jit
+        def megastep(folded_params, images, masks, bboxes):
+            """S scenes -> all-pair MXU preprocessing -> siamese forward
+            (channel swap folded into a second conv1 weight) ->
+            decisions."""
+            x = prep_all(images, masks, bboxes)
+            o1, o2 = apply_folded_siamese(folded_params, cfg, x,
+                                          dtype=dtype,
+                                          use_pallas=not args.no_pallas)
+            s1 = jax.nn.sigmoid(o1)
+            s2 = jax.nn.sigmoid(o2)
+            i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5
+            j_over_i = (s1[:, 0] + s2[:, 1]) / 2 > 0.5
+            return i_over_j, j_over_i
 
     d_images = jnp.asarray(images)
     d_masks = jnp.asarray(masks)

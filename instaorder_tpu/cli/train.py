@@ -22,6 +22,21 @@ def main():
     ap.add_argument('--load-iter', default=None, type=int)
     ap.add_argument('--resume', action='store_true')
     ap.add_argument('--validate', action='store_true')
+    ap.add_argument('--load_pretrain', '--load-pretrain', default=None,
+                    help='torch state_dict/.pth.tar to merge strict=False '
+                         'onto the fresh init before training (reference '
+                         'main.py:50 + single_stage_model.py:63-64)')
+    # parsed-but-inert in the reference too (main.py:55-58: argparse
+    # defines them, Trainer never reads them) — accepted for flag parity
+    ap.add_argument('--extract', action='store_true',
+                    help='accepted for reference main.py flag parity; '
+                         'inert there and here')
+    ap.add_argument('--evaluate', action='store_true',
+                    help='accepted for reference main.py flag parity; '
+                         'inert there and here')
+    ap.add_argument('--evaluate-save', action='store_true',
+                    help='accepted for reference main.py flag parity; '
+                         'inert there and here')
     ap.add_argument('--seed', type=int, default=131)
     ap.add_argument('--n-devices', type=int, default=None)
     ap.add_argument('--out-dir', default=None)
@@ -40,6 +55,8 @@ def main():
 
     cfg = load_config(args.config)
     cfg.seed = args.seed
+    if args.load_pretrain:
+        cfg.load_pretrain = args.load_pretrain
     trainer = Trainer(cfg, n_devices=args.n_devices, out_dir=args.out_dir)
     if args.load_model:
         path = args.load_model

@@ -84,6 +84,44 @@ def resnet_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
     return p, s
 
 
+def load_pretrain(path, params, stats, cfg, family='resnet', warn=print):
+    """Pretrained ingest for TRAINING — reference `load_pretrain`
+    semantics (main.py:38-39 + models/backbone/resnet_cls.py:227-232
+    strict=False, models/single_stage_model.py:63-64): map a torch
+    state_dict onto scratch-initialized (params, stats), keeping the
+    scratch values with a warning wherever the checkpoint is missing a
+    key or the shapes mismatch (e.g. an ImageNet 3-channel conv1 against
+    a 5-channel model, or a 1000-way fc against the 2/3-way order heads).
+
+    family: 'resnet' for the order nets (torchvision/ImageNet or released
+    `.pth.tar` state_dicts), 'midas_base' for the MiDaS
+    `model-f6b98070.pt` disp trunk (midas/base_model.py:4-15 — the order
+    branches stay fresh), 'unet'/'midas' for full-model dicts.
+    Returns (params, stats).
+    """
+    import torch
+    blob = torch.load(path, map_location='cpu', weights_only=False)
+    sd = (blob['state_dict'] if isinstance(blob, dict) and
+          'state_dict' in blob else blob)
+    if family == 'resnet':
+        p_t, s_t = resnet_from_torch_state_dict(sd, cfg)
+    elif family == 'midas_base':
+        from .torch_convert_midas import midas_base_from_torch_state_dict
+        p_t, s_t = midas_base_from_torch_state_dict(sd, cfg)
+    elif family == 'midas':
+        from .torch_convert_midas import midas_from_torch_state_dict
+        p_t, s_t = midas_from_torch_state_dict(sd, cfg)
+    elif family == 'unet':
+        from .torch_convert_unet import unet_from_torch_state_dict
+        p_t, s_t = unet_from_torch_state_dict(sd, cfg)
+    else:
+        raise ValueError(family)
+    from ..core.checkpoint import _lenient_merge
+    params = _lenient_merge(params, p_t, 'params', warn)
+    stats = _lenient_merge(stats, s_t, 'stats', warn)
+    return params, stats
+
+
 def convert_checkpoint(path, cfg, family: str = 'resnet'):
     """Load a reference `.pth.tar` and convert. Returns
     (params, stats, step). Requires torch (CPU) at call time only.

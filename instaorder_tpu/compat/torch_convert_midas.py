@@ -77,9 +77,12 @@ def _rcu(sd, pre):
                       'b': jnp.asarray(_np(sd[f'{pre}.conv2.bias']))}}
 
 
-def midas_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
-    """-> (params, stats) for models/midas.apply. Stage block counts come
-    from the cfg built by midas.init (supports trimmed test variants)."""
+def midas_base_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
+    """Disp-path-only conversion (trunk + scratch + refinenets + output
+    convs) — the exact subset the released MiDaS `model-f6b98070.pt`
+    carries. Used for training-time `pretrained_weight` ingest
+    (reference midas/base_model.py:4-15 via midas_net.py:30-45): the
+    order branches stay at their fresh init."""
     sd = strip_prefix(sd)
     layers_trunk = tuple(cfg['trunk_cfg']['layers'])
     p, s = {}, {}
@@ -95,6 +98,14 @@ def midas_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
     for name, idx in (('out_conv1', 0), ('out_conv2', 2), ('out_conv3', 4)):
         p[name] = {'w': conv_w(sd[f'scratch.output_conv.{idx}.weight']),
                    'b': jnp.asarray(_np(sd[f'scratch.output_conv.{idx}.bias']))}
+    return p, s
+
+
+def midas_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
+    """-> (params, stats) for models/midas.apply. Stage block counts come
+    from the cfg built by midas.init (supports trimmed test variants)."""
+    sd = strip_prefix(sd)
+    p, s = midas_base_from_torch_state_dict(sd, cfg)
 
     variant = cfg['variant']
     branch_cfg_key = 'gdo_cfg' if variant == 'instadepthnet_d' else 'do_cfg'

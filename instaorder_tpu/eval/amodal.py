@@ -93,15 +93,19 @@ class AmodalCompleter:
 
         self._forward = _forward
 
-    def _predict(self, modal_patches, eraser_patches, rgb_patches, th):
-        """Batch of host patches -> list of uint8 amodal patches."""
+    def _predict_prob(self, modal_patches, eraser_patches, rgb_patches):
+        """Batch of host patches -> (B, sz, sz) P(class=1) array."""
         x = np.stack([np.stack([m, e], -1) for m, e in
                       zip(modal_patches, eraser_patches)]).astype(np.float32)
         rgb = (np.stack(rgb_patches).astype(np.float32)
                if self.use_rgb else np.zeros((len(modal_patches), 1, 1, 3),
                                              np.float32))
-        prob = np.asarray(self._forward(self.params, self.stats,
+        return np.asarray(self._forward(self.params, self.stats,
                                         jnp.asarray(x), jnp.asarray(rgb)))
+
+    def _predict(self, modal_patches, eraser_patches, rgb_patches, th):
+        """Batch of host patches -> list of uint8 amodal patches."""
+        prob = self._predict_prob(modal_patches, eraser_patches, rgb_patches)
         return (prob > th).astype(np.uint8)
 
     def infer_order(self, image, inmodal, category, bboxes, pairs='all',
@@ -220,8 +224,10 @@ def infer_instseg(completer, image, category, bboxes, new_bboxes,
                   input_size, th, rgb=None):
     """Instance segmentation from bbox prompts (inference.py:825-857):
     bbox mask -> PCNet forward (no eraser channel is zero here) ->
-    softmax threshold; optional denseCRF refinement when pydensecrf is
-    importable (reference utils/common_utils.py:169-177)."""
+    softmax threshold; with `rgb` given, denseCRF mean-field refinement
+    of the softmax before thresholding (inference.py:849-853 via
+    utils/common_utils.py:169-177 — reimplemented in ops/crf.py, no
+    pydensecrf dependency)."""
     import cv2 as _cv2
     num = bboxes.shape[0]
     modal_ps, eraser_ps, rgb_ps = [], [], []
@@ -238,10 +244,16 @@ def infer_instseg(completer, image, category, bboxes, new_bboxes,
             rp = crop_padding(image, new_bboxes[i], pad_value=(0, 0, 0))
             rgb_ps.append(_cv2.resize(rp, (input_size, input_size),
                                       interpolation=_cv2.INTER_CUBIC))
-    preds = completer._predict(modal_ps, eraser_ps, rgb_ps, th)
-    if rgb is not None:
-        try:
-            import pydensecrf  # noqa: F401
-        except ImportError:
-            pass  # CRF refinement unavailable in this image; raw preds
-    return list(preds)
+    if rgb is None:
+        return list(completer._predict(modal_ps, eraser_ps, rgb_ps, th))
+    from ..ops.crf import densecrf
+    probs = completer._predict_prob(modal_ps, eraser_ps, rgb_ps)
+    out = []
+    for i in range(num):
+        rgb_patch = _cv2.resize(
+            crop_padding(rgb, new_bboxes[i], pad_value=(0, 0, 0)),
+            (input_size, input_size), interpolation=_cv2.INTER_CUBIC)
+        prob = np.stack([1.0 - probs[i], probs[i]])
+        prob_crf = densecrf(prob, rgb_patch)
+        out.append((prob_crf[1] > th).astype(np.uint8))
+    return out

@@ -53,6 +53,11 @@ class Tester:
         self.save_pngs = getattr(args, 'save_pngs', 0)
         self.out_dir = getattr(args, 'out_dir', 'out_pngs')
         self.logger = logger or _print_logger()
+        # wandb/tensorboard val-metric hooks (tools/test.py:97-103, 270-286)
+        from ..utils.telemetry import make_summary_logger
+        self.summary = make_summary_logger(
+            args.trainer if hasattr(args, 'trainer') else {},
+            self.out_dir, run_name='Test')
 
         data_cfg = args.data
         dataset = data_cfg['dataset']
@@ -198,6 +203,11 @@ class Tester:
         self.logger.info(
             f"[AVERAGE] recall={out['recall']:.3f} / "
             f"precision={out['precision']:.3f} / f1={out['f1']:.3f}")
+        # tools/test.py:276-286 logs the summary metrics
+        self.summary.scalars({'val/recall': out['recall'],
+                              'val/precision': out['precision'],
+                              'val/f1': out['f1'],
+                              'val/num_test_images': out['n']}, 0)
         return out
 
     def eval_depth_order(self):
@@ -252,6 +262,9 @@ class Tester:
         self.logger.info(
             f"[AVERAGE] recall={out['recall']:.3f} / "
             f"precision={out['precision']:.3f} / f1={out['f1']:.3f}")
+        self.summary.scalars({'val/recall': out['recall'],
+                              'val/precision': out['precision'],
+                              'val/f1': out['f1']}, 0)
         return out
 
     def _dump_pngs(self, image_fn, image, modal, pred_occ=None, gt_occ=None,
@@ -298,6 +311,8 @@ class Tester:
             mean = arr[valid].sum() / (valid.sum() + 1e-6)
             out[f'WHDR_{key}'] = float(mean)
             self.logger.info(f'{key}: {mean}')
+            # tools/test.py:270: val_<ovl>/WHDR_<eq> per-key means
+            self.summary.scalar(f'val/WHDR_{key}', mean, 0)
         return out
 
 

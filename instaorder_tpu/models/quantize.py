@@ -1,0 +1,249 @@
+"""int8 post-training quantization of the folded ResNet serving trunk.
+
+The bf16 serving path is HBM-bandwidth bound (~90 MB of activations per
+pair even with perfect fusion => ~9k pairs/s hard bound, PERFORMANCE.md).
+Storing every inter-block activation as int8 halves that traffic.
+
+Scheme (standard PTQ):
+  * activations: per-tensor static scales, calibrated as absmax/127 over
+    sample batches at every block boundary (post-relu, so ranges are
+    one-sided [0, 127]);
+  * weights: per-output-channel scales, round-to-nearest;
+  * conv epilogues fold (s_in * s_w / s_out) into one per-channel
+    multiplier and bias/s_out into one per-channel offset, so a block is
+    int8 in -> matmul -> mul/add/relu/round/clip -> int8 out;
+  * arithmetic runs on the bf16 MXU with f32 accumulation — EXACT for
+    int8 operands (values representable, sums < 2^24) and therefore
+    bit-identical to a native int8 pipeline;
+  * stride-1 identity bottlenecks run in the VMEM-resident Pallas kernel
+    (ops/pallas_blocks.fused_bottleneck_int8); stem/downsample blocks run
+    XLA convs with int8 HBM storage; heads stay f32.
+
+The reference has no quantized path; this is the TPU serving fast path.
+Accuracy is validated by logit/decision agreement against the f32
+predictor (tests/test_quantize.py); released-checkpoint Table-3 parity
+of the int8 path additionally needs the real assets.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import nn as cnn
+
+
+def _absmax(x):
+    return jnp.max(jnp.abs(x)).astype(jnp.float32)
+
+
+def _conv_f32(p, x, **kw):
+    return cnn.conv2d(p, x, **kw)
+
+
+def calibrate_folded_resnet(folded, cfg, xs):
+    """Run the f32 folded forward on sample batch(es) `xs` (list of
+    (N,H,W,C) f32 arrays, already prep-normalized) recording absmax at
+    every quantization boundary. Returns a scales pytree (f32 scalars:
+    absmax/127, floored at 1e-8)."""
+    if not isinstance(xs, (list, tuple)):
+        xs = [xs]
+
+    def one_batch(x):
+        rec: Dict[str, Any] = {'in': _absmax(x)}
+        out = jax.nn.relu(_conv_f32(folded['conv1'], x, stride=2, padding=3))
+        out = cnn.max_pool(out, 3, 2, 1)
+        rec['stem'] = _absmax(out)
+        block = cfg['block']
+        assert block == 'bottleneck', 'int8 path targets resnet50-family'
+        groups = cfg['groups']
+        for li in range(4):
+            rl = []
+            for bi, bp in enumerate(folded[f'layer{li + 1}']):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                identity = out
+                h = jax.nn.relu(_conv_f32(bp['conv1'], out))
+                r = {'h1': _absmax(h)}
+                h = jax.nn.relu(_conv_f32(bp['conv2'], h, stride=stride,
+                                          padding=1, groups=groups))
+                r['h2'] = _absmax(h)
+                hh = _conv_f32(bp['conv3'], h)
+                if 'down' in bp:
+                    identity = _conv_f32(bp['down'], out, stride=stride)
+                out = jax.nn.relu(hh + identity)
+                r['out'] = _absmax(out)
+                rl.append(r)
+            rec[f'layer{li + 1}'] = rl
+        return rec
+
+    recs = [jax.jit(one_batch)(jnp.asarray(x, jnp.float32)) for x in xs]
+    import functools as _ft
+    merged = jax.tree_util.tree_map(
+        lambda *v: _ft.reduce(jnp.maximum, v), *recs)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.maximum(np.float32(np.asarray(a)) / 127.0, 1e-8),
+        jax.device_get(merged))
+
+
+def _quant_w(w):
+    """HWIO weight -> (int8 weight, per-out-channel f32 scale)."""
+    w = np.asarray(w, np.float32)
+    s = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(axis=0) / 127.0,
+                   1e-8).astype(np.float32)
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return q, s
+
+
+def quantize_folded_resnet(folded, cfg, scales):
+    """folded f32 params + calibration scales -> int8 serving params.
+
+    Per conv the epilogue is y_q = clip(round(relu(acc * m + b)), 0, 127)
+    with m = s_in*s_w/s_out per channel, b = bias/s_out. Residual adds
+    x_q * (s_x/s_out) before the relu (sxr scalar).
+    """
+    q: Dict[str, Any] = {'cfg_scales': {'in': float(scales['in']),
+                                        'stem': float(scales['stem'])}}
+    w8, sw = _quant_w(folded['conv1']['w'])
+    q['conv1'] = {
+        'w': jnp.asarray(w8),
+        'm': jnp.asarray(float(scales['in']) * sw / float(scales['stem'])),
+        'b': jnp.asarray(np.asarray(folded['conv1']['b'], np.float32) /
+                         float(scales['stem'])),
+    }
+    s_prev = float(scales['stem'])
+    for li in range(4):
+        name = f'layer{li + 1}'
+        stage = []
+        for bi, bp in enumerate(folded[name]):
+            sc = scales[name][bi]
+            s_h1, s_h2, s_out = (float(sc['h1']), float(sc['h2']),
+                                 float(sc['out']))
+            qb: Dict[str, Any] = {}
+            for ci, (s_i, s_o) in zip(
+                    (1, 2, 3), [(s_prev, s_h1), (s_h1, s_h2),
+                                (s_h2, s_out)]):
+                w8, sw = _quant_w(bp[f'conv{ci}']['w'])
+                qb[f'conv{ci}'] = {
+                    'w': jnp.asarray(w8),
+                    'm': jnp.asarray(s_i * sw / s_o),
+                    'b': jnp.asarray(
+                        np.asarray(bp[f'conv{ci}']['b'], np.float32) / s_o),
+                }
+            if 'down' in bp:
+                w8, sw = _quant_w(bp['down']['w'])
+                # the projection feeds the residual add in conv3's output
+                # scale domain
+                qb['down'] = {
+                    'w': jnp.asarray(w8),
+                    'm': jnp.asarray(s_prev * sw / s_out),
+                    'b': jnp.asarray(
+                        np.asarray(bp['down']['b'], np.float32) / s_out),
+                }
+            else:
+                qb['sxr'] = np.float32(s_prev / s_out)
+            qb['s_out'] = np.float32(s_out)
+            stage.append(qb)
+            s_prev = s_out
+        q[name] = stage
+    for fc in ('fc', 'fc_occ', 'fc_depth'):
+        if fc in folded:
+            q[fc] = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), folded[fc])
+    q['s_feat'] = np.float32(s_prev)
+    return q
+
+
+def _requant(acc, m, b, relu=True):
+    y = acc.astype(jnp.float32) * m + b
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return jnp.clip(jnp.round(y), -127 if not relu else 0, 127
+                    ).astype(jnp.int8)
+
+
+def _conv_int8(qp, x8, stride=1, padding=0, groups=1):
+    """XLA int8 conv: int8 x int8 -> int32 acc (native MXU int8 mode)."""
+    assert groups == 1
+    return jax.lax.conv_general_dilated(
+        x8, qp['w'], (stride, stride), [(padding, padding)] * 2,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+
+
+def quantize_input(x, s_in):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127
+                    ).astype(jnp.int8)
+
+
+def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
+    """int8 stem output -> f32 head logits."""
+    groups = cfg['groups']
+    assert groups == 1, 'int8 path: groups>1 stays on the bf16 path'
+    for li in range(4):
+        for bi, qb in enumerate(q[f'layer{li + 1}']):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            if 'down' not in qb and stride == 1 and use_pallas:
+                from ..ops.pallas_blocks import fused_bottleneck_int8
+                h8 = fused_bottleneck_int8(
+                    h8, qb['conv1']['w'][0, 0], qb['conv1']['m'],
+                    qb['conv1']['b'], qb['conv2']['w'], qb['conv2']['m'],
+                    qb['conv2']['b'], qb['conv3']['w'][0, 0],
+                    qb['conv3']['m'], qb['conv3']['b'], qb['sxr'])
+                continue
+            acc = _conv_int8(qb['conv1'], h8)
+            a8 = _requant(acc, qb['conv1']['m'], qb['conv1']['b'])
+            acc = _conv_int8(qb['conv2'], a8, stride=stride, padding=1)
+            a8 = _requant(acc, qb['conv2']['m'], qb['conv2']['b'])
+            acc3 = _conv_int8(qb['conv3'], a8)
+            y = acc3.astype(jnp.float32) * qb['conv3']['m'] + qb['conv3']['b']
+            if 'down' in qb:
+                accd = _conv_int8(qb['down'], h8, stride=stride)
+                iden = (accd.astype(jnp.float32) * qb['down']['m'] +
+                        qb['down']['b'])
+            else:
+                iden = h8.astype(jnp.float32) * qb['sxr']
+            h8 = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+                          ).astype(jnp.int8)
+    feat = h8.astype(jnp.float32) * q['s_feat']
+    pooled = jnp.mean(feat, axis=(1, 2))
+    if cfg['dual_head']:
+        return (cnn.linear(q['fc_occ'], pooled),
+                cnn.linear(q['fc_depth'], pooled))
+    return cnn.linear(q['fc'], pooled)
+
+
+def _stem_int8(q, x8):
+    acc = _conv_int8(q['conv1'], x8, stride=2, padding=3)
+    h8 = _requant(acc, q['conv1']['m'], q['conv1']['b'])
+    # maxpool commutes with the monotone requant: pool the int8 directly
+    return jax.lax.reduce_window(
+        h8, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+def apply_folded_int8(q, cfg, x, use_pallas=True):
+    """f32/bf16 prep output -> int8 trunk -> f32 logits."""
+    x8 = quantize_input(x, q['cfg_scales']['in'])
+    h8 = _stem_int8(q, x8)
+    return _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
+
+
+def apply_folded_int8_siamese(q, cfg, x, use_pallas=True):
+    """Both swap directions without a swapped input copy (the folded-bf16
+    trick, models/folding.py:54-85): conv1(swap(x)) == conv1'(x) with
+    input-channel rows 0,1 exchanged."""
+    cin = q['conv1']['w'].shape[2]
+    perm = [1, 0] + list(range(2, cin))
+    conv1_sw = dict(q['conv1'], w=q['conv1']['w'][:, :, perm, :])
+    x8 = quantize_input(x, q['cfg_scales']['in'])
+    h1 = _stem_int8(q, x8)
+    h2 = _stem_int8(dict(q, conv1=conv1_sw), x8)
+    h8 = jnp.concatenate([h1, h2], axis=0)
+    out = _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
+    n = x.shape[0]
+    if isinstance(out, tuple):
+        return tuple(o[:n] for o in out), tuple(o[n:] for o in out)
+    return out[:n], out[n:]

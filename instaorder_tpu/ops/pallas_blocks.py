@@ -188,6 +188,92 @@ def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
       b3.astype(jnp.float32))
 
 
+def _bottleneck_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref, m2_ref,
+                            b2_ref, w3_ref, m3_ref, b3_ref, sxr_ref,
+                            out_ref, h1p_ref):
+    """int8-I/O bottleneck: x int8 (B,H,W,Cin) -> out int8 same shape.
+
+    HBM traffic halves vs the bf16 kernel; compute stays on the bf16 MXU
+    with f32 accumulation, which is EXACT integer arithmetic here (int8
+    values are exactly representable in bf16; products <= 127^2 and sums
+    of <= 9*512 of them stay under 2^24), so results are bit-identical to
+    a native int8 pipeline.
+
+    w* int8; m* f32 per-out-channel (s_in*s_w*r_out folded); b* f32
+    (bias*r_out folded); sxr (1,1) f32 = s_x*r_out for the residual.
+    Outputs are relu'd and requantized: clip(round(.), 0, 127).
+    """
+    B, H, W, Cin = x_ref.shape
+    Cm = w1_ref.shape[1]
+
+    x2d = x_ref[:].reshape(B * H * W, Cin).astype(jnp.bfloat16)
+
+    acc = jnp.dot(x2d, w1_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    h1 = jnp.clip(jnp.round(jnp.maximum(acc * m1_ref[:] + b1_ref[:], 0.0)),
+                  0, 127).astype(jnp.bfloat16)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
+
+    cols = jnp.concatenate(
+        [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc2 = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    h2 = jnp.clip(jnp.round(jnp.maximum(acc2 * m2_ref[:] + b2_ref[:], 0.0)),
+                  0, 127).astype(jnp.bfloat16)
+
+    acc3 = jnp.dot(h2, w3_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    out = acc3 * m3_ref[:] + b3_ref[:] + x2d.astype(jnp.float32) * sxr_ref[0, 0]
+    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0, 127
+                          ).astype(jnp.int8).reshape(B, H, W, Cin)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+def fused_bottleneck_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, sxr,
+                          interpret=False, batch_tile=None):
+    """Quantized stride-1, groups-1, identity-skip bottleneck.
+
+    x: (N, H, W, Cin) int8; w1: (Cin, Cm) int8; w2: (3, 3, Cm, Cm) int8;
+    w3: (Cm, Cin) int8; m*/b*: f32 per-channel folded scale/bias
+    (see models/quantize.py); sxr: f32 scalar. Returns int8 (N,H,W,Cin).
+    """
+    N, H, W, Cin = x.shape
+    Cm = w1.shape[1]
+    if batch_tile is None:
+        per_img = H * W * Cin  # int8: 1 byte
+        budget = 4 * 1024 * 1024
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    return pl.pallas_call(
+        _bottleneck_int8_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
+        scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, m1.astype(jnp.float32), b1.astype(jnp.float32),
+      w2, m2.astype(jnp.float32), b2.astype(jnp.float32),
+      w3, m3.astype(jnp.float32), b3.astype(jnp.float32),
+      jnp.asarray(sxr, jnp.float32).reshape(1, 1))
+
+
 def _stem_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, hp_ref):
     """Fused ResNet stem: conv 7x7/2 (pad 3) + bias + relu + maxpool
     3x3/2 (pad 1), all VMEM-resident. One image tile per grid step.

@@ -120,6 +120,13 @@ class Trainer:
         self.logger = create_logger(
             f'instaorder_tpu.{exp}', os.path.join(base, 'logs',
                                                   'log_train.txt'))
+        # wandb/tensorboardX telemetry (reference trainer.py:39-66)
+        from ..utils.telemetry import make_summary_logger
+        self.summary = make_summary_logger(trainer_cfg, base,
+                                           run_name=f'Train/{exp}',
+                                           config=vars(args)
+                                           if hasattr(args, '__dict__')
+                                           else None)
 
         # model + algo
         algo = model_cfg['algo']
@@ -131,6 +138,7 @@ class Trainer:
         bparams = dict(model_cfg.get('backbone_param', {}))
         self.params, self.stats, self.net_cfg = bb['init'](key, **bparams)
         self.apply_fn = bb['apply']
+        self._ingest_pretrained(model_cfg, algo)
         self.loss_fn = make_loss(algo, self.apply_fn, self.net_cfg,
                                  model_cfg)
         self.optimizer = make_optimizer(
@@ -150,6 +158,46 @@ class Trainer:
         self.start_iter = 0
         self.curr_step = 0
         self.logger.info(f'#parameters: {param_count(self.params)}')
+
+    def _ingest_pretrained(self, model_cfg, algo):
+        """Training-time pretrained ingest (reference main.py:38-39 +
+        single_stage_model.py:17-27):
+
+          * `pretrained_weight` (MiDaS model-f6b98070.pt) for the
+            InstaDepthNet/midas family — disp trunk only, order branches
+            stay fresh (midas_net.py:30-45). A missing file warns and
+            skips (documented deviation: the reference crashes, which
+            would block eval-from-checkpoint in asset-less environments).
+          * `load_pretrain: <path>` for the order nets — torchvision/
+            ImageNet or released state_dict merged strict=False onto the
+            xavier init (resnet_cls.py:227-232). The reference's
+            `pretrained: True` URL download is not supported (no egress);
+            pass a local path instead.
+        """
+        from ..compat.torch_convert import load_pretrain as _ingest
+
+        pw = model_cfg.get('pretrained_weight')
+        if pw and (algo.startswith('InstaDepthNet') or 'midas' in algo):
+            if os.path.isfile(pw):
+                self.params, self.stats = _ingest(
+                    pw, self.params, self.stats, self.net_cfg,
+                    family='midas_base', warn=self.logger.info)
+                self.logger.info(f'=> loaded pretrained_weight {pw}')
+            else:
+                self.logger.info(
+                    f'caution: pretrained_weight {pw} not found; training '
+                    f'the disp trunk from scratch (the reference would '
+                    f'require this asset)')
+        lp = model_cfg.get('load_pretrain') or getattr(
+            self.args, 'load_pretrain', None)
+        if isinstance(lp, str) and lp:
+            family = ('midas' if algo.startswith('InstaDepthNet')
+                      else 'unet' if algo == 'PartialCompletionMask'
+                      else 'resnet')
+            self.params, self.stats = _ingest(
+                lp, self.params, self.stats, self.net_cfg, family=family,
+                warn=self.logger.info)
+            self.logger.info(f'=> loaded pretrain {lp}')
 
     # -- checkpointing -----------------------------------------------------
     def save(self, step):
@@ -214,7 +262,10 @@ class Trainer:
         recorder: Dict[str, AverageMeter] = {}
         pending = []  # device-side log dicts; materialised at print_freq
                       # so logging never stalls the device pipeline (the
-                      # reference syncs per-iteration, trainer.py:175)
+                      # reference syncs per-iteration, trainer.py:175).
+                      # Unbounded between prints: every iteration's loss
+                      # reaches the recorder, so AverageMeter count/sum
+                      # semantics match the reference's per-iter updates.
 
         end = time.time()
         for i, batch in enumerate(loader):
@@ -227,8 +278,6 @@ class Trainer:
                 self.params, self.stats, self.opt_state, sharded, lr)
 
             pending.append(logs)
-            if len(pending) > 10:
-                del pending[0]
             btime.update(time.time() - end)
             end = time.time()
             self.curr_step += 1
@@ -239,6 +288,12 @@ class Trainer:
                         recorder.setdefault(k, AverageMeter(10)).update(
                             float(v))
                 pending.clear()
+                # reference trainer.py:185-193: lr + per-loss averages
+                self.summary.scalar('lr', lr, self.curr_step)
+                self.summary.scalar('batch_time', btime.avg, self.curr_step)
+                self.summary.scalar('data_time', dtime.avg, self.curr_step)
+                for k, m in recorder.items():
+                    self.summary.scalar(f'train_{k}', m.avg, self.curr_step)
                 loss_str = '\t'.join(
                     f'{k}: {m.val:.4g} ({m.avg:.4g})'
                     for k, m in recorder.items())
@@ -268,6 +323,9 @@ class Trainer:
                                   shard_batch(batch, self.mesh))
             for k, v in logs.items():
                 recorder.setdefault(k, AverageMeter(10)).update(float(v))
+        # reference trainer.py:249-252: val_<k> at the current train step
+        for k, m in recorder.items():
+            self.summary.scalar(f'val_{k}', m.avg, self.curr_step)
         loss_str = '\t'.join(f'{k}: {m.val:.4g} ({m.avg:.4g})'
                              for k, m in recorder.items())
         self.logger.info(f'Validation Iter: [{self.curr_step}]\t{loss_str}')

@@ -50,6 +50,55 @@ def test_infer_order_and_amodal_flow():
     assert full.shape == (3, 48, 48)
 
 
+def test_densecrf_meanfield_edge_alignment():
+    """ops/crf.densecrf (reference utils/common_utils.py:169-177): a
+    noisy unary on a two-region image must snap toward the RGB edge."""
+    from instaorder_tpu.ops.crf import densecrf
+
+    h = w = 48
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, w // 2:] = [200, 40, 40]   # right half red, left black
+    rng = np.random.RandomState(0)
+    # unary: weakly prefers class 1 on the right, with heavy noise
+    p1 = np.clip(0.5 + 0.15 * (np.arange(w) >= w // 2)[None, :]
+                 + 0.25 * rng.randn(h, w), 0.02, 0.98)
+    prob = np.stack([1 - p1, p1])
+    refined = densecrf(prob, rgb, iters=1)
+    assert refined.shape == (2, h, w)
+    np.testing.assert_allclose(refined.sum(0), 1.0, atol=1e-6)
+    pred_before = (prob[1] > 0.5)
+    pred_after = (refined[1] > 0.5)
+    gt = np.zeros((h, w), bool)
+    gt[:, w // 2:] = True
+    # one mean-field step (the reference's iter=1) must move the noisy
+    # unary toward the color edge; the kernel widths (sxy=80) are tuned
+    # for 256^2 patches, so demand improvement, not perfection, at 48^2
+    assert (pred_after == gt).mean() > (pred_before == gt).mean() + 0.05
+
+
+def test_infer_instseg_crf_branch():
+    """infer_instseg with rgb: CRF-refined preds returned, right shapes
+    (reference inference.py:825-857)."""
+    p, s, cfg = unet.init(jax.random.PRNGKey(0), in_channels=2, w=0.5,
+                          n_classes=2, depth=2)
+    comp = A.AmodalCompleter(unet.apply, cfg, p, s, input_size=32)
+    image = np.zeros((48, 48, 3), np.uint8)
+    rgb = np.zeros((48, 48, 3), np.uint8)
+    rgb[:, 24:] = [180, 60, 60]
+    bboxes = np.array([[4, 4, 16, 16], [20, 20, 20, 20]])
+    new_bboxes = np.array([[0, 0, 24, 24], [16, 16, 28, 28]])
+    category = np.ones(2)
+    preds = A.infer_instseg(comp, image, category, bboxes, new_bboxes,
+                            input_size=32, th=0.5, rgb=rgb)
+    assert len(preds) == 2
+    assert all(pp.shape == (32, 32) and pp.dtype == np.uint8
+               for pp in preds)
+    # no-rgb branch still works
+    preds2 = A.infer_instseg(comp, image, category, bboxes, new_bboxes,
+                             input_size=32, th=0.5, rgb=None)
+    assert len(preds2) == 2
+
+
 def test_infer_amodal_hull_order_grounded():
     inmodal = np.zeros((2, 20, 20), np.uint8)
     inmodal[0, 2:10, 2:10] = 1

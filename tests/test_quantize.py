@@ -1,0 +1,127 @@
+"""int8 PTQ serving path: calibration, quantized-vs-f32 closeness, exact
+Pallas/XLA agreement, siamese swap-fold correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from instaorder_tpu.models import resnet
+from instaorder_tpu.models.folding import fold_resnet, apply_folded
+from instaorder_tpu.models import quantize as Q
+
+
+@pytest.fixture(scope='module')
+def small_net():
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(0), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(2, 2, 1, 1))
+    folded = fold_resnet(params, stats, cfg)
+    rng = np.random.RandomState(0)
+    xs = [rng.randn(2, 64, 64, 5).astype(np.float32) for _ in range(2)]
+    scales = Q.calibrate_folded_resnet(folded, cfg, xs)
+    q = Q.quantize_folded_resnet(folded, cfg, scales)
+    return folded, cfg, q, xs
+
+
+def test_int8_close_to_f32_and_decisions_agree(small_net):
+    folded, cfg, q, xs = small_net
+    x = xs[0]
+    want = np.asarray(apply_folded(folded, cfg, x))
+    got = np.asarray(Q.apply_folded_int8(q, cfg, jnp.asarray(x),
+                                         use_pallas=False))
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / scale < 0.15, (got, want)
+    agree = ((got > 0) == (want > 0)).mean()
+    assert agree >= 0.75  # random-net logits hover near 0; real nets higher
+
+
+def test_pallas_int8_kernel_bitexact_vs_xla_block(small_net):
+    """The Pallas int8 bottleneck and the XLA int8 block must agree
+    BIT-EXACTLY (same integer arithmetic)."""
+    folded, cfg, q, xs = small_net
+    x = xs[0]
+    x8 = Q.quantize_input(jnp.asarray(x), q['cfg_scales']['in'])
+    h8 = Q._stem_int8(q, x8)
+    # layer1 block 2 is stride-1 identity (layers_override (2,2,1,1))
+    qb = q['layer1'][1]
+    # drive h8 through layer1 block 1 (downsample) on the XLA path first
+    acc = Q._conv_int8(q['layer1'][0]['conv1'], h8)
+    a8 = Q._requant(acc, q['layer1'][0]['conv1']['m'],
+                    q['layer1'][0]['conv1']['b'])
+    acc = Q._conv_int8(q['layer1'][0]['conv2'], a8, padding=1)
+    a8 = Q._requant(acc, q['layer1'][0]['conv2']['m'],
+                    q['layer1'][0]['conv2']['b'])
+    acc3 = Q._conv_int8(q['layer1'][0]['conv3'], a8)
+    y = (acc3.astype(jnp.float32) * q['layer1'][0]['conv3']['m'] +
+         q['layer1'][0]['conv3']['b'])
+    accd = Q._conv_int8(q['layer1'][0]['down'], h8)
+    iden = (accd.astype(jnp.float32) * q['layer1'][0]['down']['m'] +
+            q['layer1'][0]['down']['b'])
+    blk_in = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+                      ).astype(jnp.int8)
+
+    # XLA int8 identity block
+    acc = Q._conv_int8(qb['conv1'], blk_in)
+    a8 = Q._requant(acc, qb['conv1']['m'], qb['conv1']['b'])
+    acc = Q._conv_int8(qb['conv2'], a8, padding=1)
+    a8 = Q._requant(acc, qb['conv2']['m'], qb['conv2']['b'])
+    acc3 = Q._conv_int8(qb['conv3'], a8)
+    y = acc3.astype(jnp.float32) * qb['conv3']['m'] + qb['conv3']['b']
+    iden = blk_in.astype(jnp.float32) * qb['sxr']
+    want = np.asarray(jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)),
+                               0, 127).astype(jnp.int8))
+
+    from instaorder_tpu.ops.pallas_blocks import fused_bottleneck_int8
+    got = np.asarray(fused_bottleneck_int8(
+        blk_in, qb['conv1']['w'][0, 0], qb['conv1']['m'], qb['conv1']['b'],
+        qb['conv2']['w'], qb['conv2']['m'], qb['conv2']['b'],
+        qb['conv3']['w'][0, 0], qb['conv3']['m'], qb['conv3']['b'],
+        qb['sxr'], interpret=True, batch_tile=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_full_path_pallas_interpret_equals_xla(small_net):
+    folded, cfg, q, xs = small_net
+    from instaorder_tpu.ops import pallas_blocks
+
+    x = jnp.asarray(xs[1])
+    want = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=False))
+
+    orig = pallas_blocks.fused_bottleneck_int8
+
+    def interp(x_, *a, **kw):
+        kw['interpret'] = True
+        return orig(x_, *a, **kw)
+
+    pallas_blocks.fused_bottleneck_int8 = interp
+    try:
+        got = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=True))
+    finally:
+        pallas_blocks.fused_bottleneck_int8 = orig
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_siamese_swap_fold(small_net):
+    folded, cfg, q, xs = small_net
+    x = jnp.asarray(xs[0])
+    o1, o2 = Q.apply_folded_int8_siamese(q, cfg, x, use_pallas=False)
+    perm = jnp.asarray([1, 0, 2, 3, 4])
+    o2_want = Q.apply_folded_int8(q, cfg, x[..., perm], use_pallas=False)
+    # int8 trunk is exact; the f32 head's mean/dot reassociate differently
+    # for the 2N-batch program -> 1e-6-level fp noise only
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o2_want),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(Q.apply_folded_int8(q, cfg, x,
+                                                       use_pallas=False)),
+        atol=1e-5)
+
+
+def test_calibration_scales_shape(small_net):
+    folded, cfg, q, xs = small_net
+    assert q['conv1']['w'].dtype == jnp.int8
+    assert q['layer2'][0]['down']['w'].dtype == jnp.int8
+    m = q['layer1'][0]['conv2']['m']
+    assert m.shape == (q['layer1'][0]['conv2']['w'].shape[-1],)
+    assert float(q['s_feat']) > 0

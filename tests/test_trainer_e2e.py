@@ -81,6 +81,36 @@ def test_train_checkpoint_resume(fixture, tmp_path):
     assert np.isfinite(val['loss'])
 
 
+def test_tensorboard_telemetry(fixture, tmp_path):
+    """Config-gated tensorboardX hooks (reference trainer.py:59-66,
+    185-193, 249-252): event files with train_/val_/lr scalars."""
+    from instaorder_tpu.train.trainer import Trainer
+
+    args = make_args(fixture, total_iter=2)
+    args.trainer['tensorboard'] = True
+    args.trainer['val_freq'] = 2
+    out = str(tmp_path / 'tbrun')
+    t = Trainer(args, n_devices=2, out_dir=out)
+    t.train()
+    t.summary.flush()
+    ev_dir = os.path.join(out, 'events')
+    files = os.listdir(ev_dir)
+    assert any(f.startswith('events.out.tfevents') for f in files)
+    # the scalars actually landed
+    data = b''.join(open(os.path.join(ev_dir, f), 'rb').read()
+                    for f in files)
+    assert b'train_loss' in data and b'lr' in data and b'val_loss' in data
+
+
+def test_wandb_config_raises_helpfully(fixture, tmp_path):
+    from instaorder_tpu.train.trainer import Trainer
+
+    args = make_args(fixture)
+    args.trainer['wandb'] = True
+    with pytest.raises(RuntimeError, match='wandb is not installed'):
+        Trainer(args, n_devices=2, out_dir=str(tmp_path / 'wb'))
+
+
 def test_tester_runs_occ(fixture, tmp_path):
     from instaorder_tpu.eval.tester import Tester
 
