@@ -115,6 +115,19 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                     bp['conv3']['w'][0, 0], bp['conv3']['b'])
                 bi += 1
                 continue
+            fusable_down = (use_pallas and block == 'bottleneck' and
+                            groups == 1 and 'down' in bp
+                            and bp['conv1']['w'].shape[2] <= 512)
+            if fusable_down:
+                from ..ops.pallas_blocks import fused_bottleneck_down
+                out = fused_bottleneck_down(
+                    out,
+                    bp['conv1']['w'][0, 0], bp['conv1']['b'],
+                    bp['conv2']['w'], bp['conv2']['b'],
+                    bp['conv3']['w'][0, 0], bp['conv3']['b'],
+                    bp['down']['w'][0, 0], bp['down']['b'], stride=stride)
+                bi += 1
+                continue
             identity = out
             if block == 'bottleneck':
                 h = jax.nn.relu(cnn.conv2d(bp['conv1'], out))

@@ -193,6 +193,19 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
                     qb['conv2']['b'], qb['conv3']['w'][0, 0],
                     qb['conv3']['m'], qb['conv3']['b'], qb['sxr'])
                 continue
+            if 'down' in qb and use_pallas:
+                # projection blocks: the XLA path materialises the full
+                # s32 conv accumulators ((N,64,64,256) = 8.4GB at bench
+                # batch — HBM OOM); the fused kernel keeps them in VMEM
+                from ..ops.pallas_blocks import fused_bottleneck_down_int8
+                h8 = fused_bottleneck_down_int8(
+                    h8, qb['conv1']['w'][0, 0], qb['conv1']['m'],
+                    qb['conv1']['b'], qb['conv2']['w'], qb['conv2']['m'],
+                    qb['conv2']['b'], qb['conv3']['w'][0, 0],
+                    qb['conv3']['m'], qb['conv3']['b'],
+                    qb['down']['w'][0, 0], qb['down']['m'],
+                    qb['down']['b'], stride=stride)
+                continue
             acc = _conv_int8(qb['conv1'], h8)
             a8 = _requant(acc, qb['conv1']['m'], qb['conv1']['b'])
             acc = _conv_int8(qb['conv2'], a8, stride=stride, padding=1)

@@ -352,3 +352,314 @@ def stem_reference(x, w, b):
     from ..core import nn as cnn
     h = jax.nn.relu(cnn.conv2d({'w': w, 'b': b}, x, stride=2, padding=3))
     return cnn.max_pool(h, 3, 2, 1)
+
+
+def _bottleneck_down_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                            b3_ref, wd_ref, bd_ref, out_ref, h1p_ref):
+    """Stride-1 projection bottleneck (ResNet-50 layer1[0]): identity is
+    a 1x1 channel projection (reference resnet_cls.py Bottleneck with
+    downsample). x (B, H, W, Cin) -> out (B, H, W, Cout)."""
+    B, H, W, Cin = x_ref.shape
+    Cout = out_ref.shape[-1]
+    Cm = w1_ref.shape[1]
+    cdt = x_ref.dtype
+
+    x2d = x_ref[:].reshape(B * H * W, Cin)
+    h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
+
+    cols = jnp.concatenate(
+        [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                  preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+    out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    iden = jnp.dot(x2d, wd_ref[:], preferred_element_type=jnp.float32)
+    out = out + b3_ref[:] + iden + bd_ref[:]
+    out_ref[:] = jnp.maximum(out, 0.0).astype(cdt).reshape(
+        B, H, W, Cout)
+
+
+# stride-2 taps: input row 2y + dy - 1 lives in parity plane a = (dy+1)%2
+# at plane row y + (dy-1-a)//2; with a 1-cell front pad the slice start is
+# 0 for dy == 0 and 1 otherwise. Same for columns.
+_S2_PLANE = {0: (1, 0), 1: (0, 1), 2: (1, 1)}
+
+
+def _bottleneck_down_s2_kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                               w3_ref, b3_ref, wd_ref, bd_ref, out_ref,
+                               h1p_ref):
+    """Stride-2 projection bottleneck on space-to-depth parity planes.
+
+    Mosaic has no general strided VMEM loads (stride-2 needs the base
+    memref's last dim == 128), so the wrapper de-interleaves x into 4
+    even/odd row-col planes xp (2, 2, B, Ho, Wo, Cin) with
+    xp[a, b, n, y, x] = x[n, 2y + a, 2x + b]; every 3x3/2 tap and the
+    1x1/2 identity projection then become unit-stride plane slices.
+    out (B, Ho, Wo, Cout)."""
+    _, _, B, Ho, Wo, Cin = xp_ref.shape
+    Cout = out_ref.shape[-1]
+    Cm = w1_ref.shape[1]
+    cdt = xp_ref.dtype
+
+    x2d = xp_ref[:].reshape(4 * B * Ho * Wo, Cin)
+    h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+
+    # padded parity planes of h1 (front pad 1 row/col for the -1 taps)
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, :, :, 1:, 1:, :] = h1.reshape(2, 2, B, Ho, Wo, Cm)
+
+    cols = []
+    for dy in range(3):
+        a, sy = _S2_PLANE[dy]
+        for dx in range(3):
+            b, sx = _S2_PLANE[dx]
+            cols.append(h1p_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
+                        .reshape(B * Ho * Wo, Cm))
+    acc = jnp.dot(jnp.concatenate(cols, axis=1),
+                  w2_ref[:].reshape(9 * Cm, Cm),
+                  preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+    out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    # identity 1x1/2 reads x[2y, 2x] = plane (0, 0)
+    xs = xp_ref[0, 0].reshape(B * Ho * Wo, Cin)
+    iden = jnp.dot(xs, wd_ref[:], preferred_element_type=jnp.float32)
+    out = out + b3_ref[:] + iden + bd_ref[:]
+    out_ref[:] = jnp.maximum(out, 0.0).astype(cdt).reshape(
+        B, Ho, Wo, Cout)
+
+
+def _space_to_depth(x):
+    """(N, H, W, C) -> parity planes (2, 2, N, H//2, W//2, C) with
+    planes[a, b, n, y, x] = x[n, 2y + a, 2x + b] (XLA-side copy)."""
+    N, H, W, C = x.shape
+    return x.reshape(N, H // 2, 2, W // 2, 2, C).transpose(2, 4, 0, 1, 3, 5)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('stride', 'interpret', 'batch_tile'))
+def fused_bottleneck_down(x, w1, b1, w2, b2, w3, b3, wd, bd, stride=1,
+                          interpret=False, batch_tile=None):
+    """Projection bottleneck block: x (N, H, W, Cin); w1 (Cin, Cm);
+    w2 (3, 3, Cm, Cm) HWIO applied at `stride` s in {1, 2};
+    w3 (Cm, Cout); wd (Cin, Cout) 1x1/s identity projection.
+    Returns (N, H/s, W/s, Cout)."""
+    N, H, W, Cin = x.shape
+    Cm = w1.shape[1]
+    s = stride
+    Ho, Wo = H // s, W // s
+    Cout = w3.shape[1]
+    if batch_tile is None:
+        it = x.dtype.itemsize
+        # full VMEM footprint per image: in/out blocks are double-buffered
+        # by the pipeline; h1 planes + im2col cols + f32 accumulators live
+        # once. (The plain 5MB-input heuristic OOMs when Cout >> Cin.)
+        per_img = (2 * H * W * Cin * it + 2 * Ho * Wo * Cout * it +
+                   (H + 2) * (W + 2) * Cm * it +
+                   9 * Ho * Wo * Cm * it +
+                   Ho * Wo * max(Cm, Cout) * 4 + H * W * Cm * 4)
+        budget = 72 * 1024 * 1024
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    args = (w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
+            w3, b3.astype(jnp.float32), wd, bd.astype(jnp.float32))
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+    out_spec = pl.BlockSpec((B, Ho, Wo, Cout), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((N, Ho, Wo, Cout), x.dtype)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if s == 1:
+        return pl.pallas_call(
+            _bottleneck_down_kernel,
+            grid=(N // B,),
+            in_specs=[pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)] + wspecs,
+            out_specs=out_spec, out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((B, H + 2, W + 2, Cm), x.dtype)],
+            compiler_params=cp, interpret=interpret,
+        )(x, *args)
+
+    xp = _space_to_depth(x)
+    return pl.pallas_call(
+        _bottleneck_down_s2_kernel,
+        grid=(N // B,),
+        in_specs=[pl.BlockSpec((2, 2, B, Ho, Wo, Cin),
+                               lambda i: (0, 0, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + wspecs,
+        out_specs=out_spec, out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cm), x.dtype)],
+        compiler_params=cp, interpret=interpret,
+    )(xp, *args)
+
+
+def bottleneck_down_reference(x, w1, b1, w2, b2, w3, b3, wd, bd, stride=1):
+    """XLA reference for the projection block (parity tests)."""
+    from ..core import nn as cnn
+    s = stride
+    h = jax.nn.relu(cnn.conv2d({'w': w1[None, None], 'b': b1}, x))
+    h = jax.nn.relu(cnn.conv2d({'w': w2, 'b': b2}, h, stride=s, padding=1))
+    h = cnn.conv2d({'w': w3[None, None], 'b': b3}, h)
+    iden = cnn.conv2d({'w': wd[None, None], 'b': bd}, x, stride=s)
+    return jax.nn.relu(h + iden)
+
+
+def _bottleneck_down_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
+                                 m2_ref, b2_ref, w3_ref, m3_ref, b3_ref,
+                                 wd_ref, md_ref, bd_ref, out_ref, h1p_ref):
+    """Quantized stride-1 projection bottleneck (see
+    _bottleneck_down_kernel + models/quantize.py epilogue math).
+    x int8 (B, H, W, Cin) -> out int8 (B, H, W, Cout). Arithmetic on
+    the bf16 MXU with f32 accumulation — exact for int8 operands
+    (quantize.py docstring)."""
+    B, H, W, Cin = x_ref.shape
+    Cout = out_ref.shape[-1]
+    Cm = w1_ref.shape[1]
+
+    x2d = x_ref[:].reshape(B * H * W, Cin).astype(jnp.bfloat16)
+    acc = jnp.dot(x2d, w1_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    h1 = jnp.clip(jnp.round(jnp.maximum(acc * m1_ref[:] + b1_ref[:], 0.0)),
+                  0, 127).astype(jnp.bfloat16)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
+
+    cols = jnp.concatenate(
+        [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc2 = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    h2 = jnp.clip(jnp.round(jnp.maximum(acc2 * m2_ref[:] + b2_ref[:], 0.0)),
+                  0, 127).astype(jnp.bfloat16)
+
+    acc3 = jnp.dot(h2, w3_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    y = acc3 * m3_ref[:] + b3_ref[:]
+
+    accd = jnp.dot(x2d, wd_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    iden = accd * md_ref[:] + bd_ref[:]
+    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+                          ).astype(jnp.int8).reshape(B, H, W, Cout)
+
+
+def _bottleneck_down_s2_int8_kernel(xp_ref, w1_ref, m1_ref, b1_ref, w2_ref,
+                                    m2_ref, b2_ref, w3_ref, m3_ref, b3_ref,
+                                    wd_ref, md_ref, bd_ref, out_ref,
+                                    h1p_ref):
+    """Quantized stride-2 projection bottleneck on space-to-depth parity
+    planes (see _bottleneck_down_s2_kernel). xp int8
+    (2, 2, B, Ho, Wo, Cin) -> out int8 (B, Ho, Wo, Cout)."""
+    _, _, B, Ho, Wo, Cin = xp_ref.shape
+    Cout = out_ref.shape[-1]
+    Cm = w1_ref.shape[1]
+
+    x2d = xp_ref[:].reshape(4 * B * Ho * Wo, Cin).astype(jnp.bfloat16)
+    acc = jnp.dot(x2d, w1_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    h1 = jnp.clip(jnp.round(jnp.maximum(acc * m1_ref[:] + b1_ref[:], 0.0)),
+                  0, 127).astype(jnp.bfloat16)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, :, :, 1:, 1:, :] = h1.reshape(2, 2, B, Ho, Wo, Cm)
+
+    cols = []
+    for dy in range(3):
+        a, sy = _S2_PLANE[dy]
+        for dx in range(3):
+            b, sx = _S2_PLANE[dx]
+            cols.append(h1p_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
+                        .reshape(B * Ho * Wo, Cm))
+    acc2 = jnp.dot(jnp.concatenate(cols, axis=1),
+                   w2_ref[:].reshape(9 * Cm, Cm).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    h2 = jnp.clip(jnp.round(jnp.maximum(acc2 * m2_ref[:] + b2_ref[:], 0.0)),
+                  0, 127).astype(jnp.bfloat16)
+
+    acc3 = jnp.dot(h2, w3_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    y = acc3 * m3_ref[:] + b3_ref[:]
+
+    xs = xp_ref[0, 0].reshape(B * Ho * Wo, Cin).astype(jnp.bfloat16)
+    accd = jnp.dot(xs, wd_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    iden = accd * md_ref[:] + bd_ref[:]
+    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+                          ).astype(jnp.int8).reshape(B, Ho, Wo, Cout)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('stride', 'interpret', 'batch_tile'))
+def fused_bottleneck_down_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
+                               wd, md, bd, stride=1, interpret=False,
+                               batch_tile=None):
+    """Quantized projection bottleneck. x (N, H, W, Cin) int8; weights
+    int8; m*/b* f32 folded per-channel scale/bias (models/quantize.py);
+    wd/md/bd the 1x1/s identity projection. Returns int8
+    (N, H/s, W/s, Cout)."""
+    N, H, W, Cin = x.shape
+    Cm = w1.shape[1]
+    s = stride
+    Ho, Wo = H // s, W // s
+    Cout = w3.shape[1]
+    if batch_tile is None:
+        # int8 in/out blocks (1B), bf16 scratches/cols (2B), f32 accs
+        per_img = (2 * H * W * Cin + 2 * Ho * Wo * Cout +
+                   (H + 2) * (W + 2) * Cm * 2 +
+                   9 * Ho * Wo * Cm * 2 +
+                   Ho * Wo * max(Cm, Cout) * 4 + H * W * Cm * 4)
+        budget = 72 * 1024 * 1024
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    args = (w1, m1.astype(jnp.float32), b1.astype(jnp.float32),
+            w2, m2.astype(jnp.float32), b2.astype(jnp.float32),
+            w3, m3.astype(jnp.float32), b3.astype(jnp.float32),
+            wd, md.astype(jnp.float32), bd.astype(jnp.float32))
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+    out_spec = pl.BlockSpec((B, Ho, Wo, Cout), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((N, Ho, Wo, Cout), jnp.int8)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if s == 1:
+        return pl.pallas_call(
+            _bottleneck_down_int8_kernel,
+            grid=(N // B,),
+            in_specs=[pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)] + wspecs,
+            out_specs=out_spec, out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((B, H + 2, W + 2, Cm), jnp.bfloat16)],
+            compiler_params=cp, interpret=interpret,
+        )(x, *args)
+
+    xp = _space_to_depth(x)
+    return pl.pallas_call(
+        _bottleneck_down_s2_int8_kernel,
+        grid=(N // B,),
+        in_specs=[pl.BlockSpec((2, 2, B, Ho, Wo, Cin),
+                               lambda i: (0, 0, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + wspecs,
+        out_specs=out_spec, out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cm), jnp.bfloat16)],
+        compiler_params=cp, interpret=interpret,
+    )(xp, *args)

@@ -61,16 +61,23 @@ def test_folded_trunk_with_pallas_interpret_equivalence():
     want = np.asarray(apply_folded(folded, cfg, x))
 
     orig = pallas_blocks.fused_bottleneck
+    orig_down = pallas_blocks.fused_bottleneck_down
 
     def interp(x_, *a, **kw):
         kw['interpret'] = True
         return orig(x_, *a, **kw)
 
+    def interp_down(x_, *a, **kw):
+        kw['interpret'] = True
+        return orig_down(x_, *a, **kw)
+
     pallas_blocks.fused_bottleneck = interp
+    pallas_blocks.fused_bottleneck_down = interp_down
     try:
         got = np.asarray(apply_folded(folded, cfg, x, use_pallas=True))
     finally:
         pallas_blocks.fused_bottleneck = orig
+        pallas_blocks.fused_bottleneck_down = orig_down
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
@@ -109,3 +116,80 @@ def test_fused_stem_parity():
                                 jnp.asarray(b), interpret=True,
                                 batch_tile=2))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize('stride,cin,cm,cout', [
+    (1, 64, 64, 256),    # layer1[0]: channel projection, no spatial down
+    (2, 256, 128, 512),  # layer2[0]
+])
+def test_fused_bottleneck_down_parity(stride, cin, cm, cout):
+    from instaorder_tpu.ops.pallas_blocks import (
+        fused_bottleneck_down, bottleneck_down_reference)
+    rng = np.random.RandomState(0)
+    H = 16
+    x = rng.randn(4, H, H, cin).astype(np.float32)
+    w = [rng.randn(cin, cm) * 0.1, rng.randn(cm),
+         rng.randn(3, 3, cm, cm) * 0.1, rng.randn(cm),
+         rng.randn(cm, cout) * 0.1, rng.randn(cout),
+         rng.randn(cin, cout) * 0.1, rng.randn(cout)]
+    w = [a.astype(np.float32) for a in w]
+    got = np.asarray(fused_bottleneck_down(
+        jnp.asarray(x), *map(jnp.asarray, w), stride=stride,
+        interpret=True, batch_tile=2))
+    want = np.asarray(bottleneck_down_reference(
+        jnp.asarray(x), *map(jnp.asarray, w), stride=stride))
+    assert got.shape == (4, H // stride, H // stride, cout)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize('stride,cin,cm,cout', [
+    (1, 64, 64, 128),
+    (2, 128, 64, 256),
+])
+def test_fused_bottleneck_down_int8_parity(stride, cin, cm, cout):
+    """int8 projection kernel == the XLA int8 down-block math in
+    models/quantize.py (bit-exact: same integer arithmetic)."""
+    from instaorder_tpu.ops.pallas_blocks import fused_bottleneck_down_int8
+    from instaorder_tpu.models import quantize as Q
+    rng = np.random.RandomState(1)
+    H = 8
+    x8 = rng.randint(-127, 128, (2, H, H, cin)).astype(np.int8)
+    def qw(ci, co):
+        return (rng.randint(-127, 128, (ci, co)).astype(np.int8),
+                (rng.rand(co).astype(np.float32) + 0.5) * 1e-3,
+                rng.randn(co).astype(np.float32) * 0.1)
+    w1, m1, b1 = qw(cin, cm)
+    w2f = rng.randint(-127, 128, (3, 3, cm, cm)).astype(np.int8)
+    _, m2, b2 = qw(cm, cm)
+    w3, m3, b3 = qw(cm, cout)
+    wd, md, bd = qw(cin, cout)
+
+    got = np.asarray(fused_bottleneck_down_int8(
+        jnp.asarray(x8), jnp.asarray(w1), jnp.asarray(m1), jnp.asarray(b1),
+        jnp.asarray(w2f), jnp.asarray(m2), jnp.asarray(b2),
+        jnp.asarray(w3), jnp.asarray(m3), jnp.asarray(b3),
+        jnp.asarray(wd), jnp.asarray(md), jnp.asarray(bd),
+        stride=stride, interpret=True, batch_tile=1))
+
+    # XLA oracle: quantize.py's explicit down-block path
+    qb = {'conv1': {'w': jnp.asarray(w1)[None, None], 'm': jnp.asarray(m1),
+                    'b': jnp.asarray(b1)},
+          'conv2': {'w': jnp.asarray(w2f), 'm': jnp.asarray(m2),
+                    'b': jnp.asarray(b2)},
+          'conv3': {'w': jnp.asarray(w3)[None, None], 'm': jnp.asarray(m3),
+                    'b': jnp.asarray(b3)},
+          'down': {'w': jnp.asarray(wd)[None, None], 'm': jnp.asarray(md),
+                   'b': jnp.asarray(bd)}}
+    h8 = jnp.asarray(x8)
+    acc = Q._conv_int8(qb['conv1'], h8)
+    a8 = Q._requant(acc, qb['conv1']['m'], qb['conv1']['b'])
+    acc = Q._conv_int8(qb['conv2'], a8, stride=stride, padding=1)
+    a8 = Q._requant(acc, qb['conv2']['m'], qb['conv2']['b'])
+    acc3 = Q._conv_int8(qb['conv3'], a8)
+    y = acc3.astype(jnp.float32) * qb['conv3']['m'] + qb['conv3']['b']
+    accd = Q._conv_int8(qb['down'], h8, stride=stride)
+    iden = accd.astype(jnp.float32) * qb['down']['m'] + qb['down']['b']
+    want = np.asarray(jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)),
+                               0, 127).astype(jnp.int8))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)

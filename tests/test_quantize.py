@@ -89,16 +89,23 @@ def test_int8_full_path_pallas_interpret_equals_xla(small_net):
     want = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=False))
 
     orig = pallas_blocks.fused_bottleneck_int8
+    orig_down = pallas_blocks.fused_bottleneck_down_int8
 
     def interp(x_, *a, **kw):
         kw['interpret'] = True
         return orig(x_, *a, **kw)
 
+    def interp_down(x_, *a, **kw):
+        kw['interpret'] = True
+        return orig_down(x_, *a, **kw)
+
     pallas_blocks.fused_bottleneck_int8 = interp
+    pallas_blocks.fused_bottleneck_down_int8 = interp_down
     try:
         got = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=True))
     finally:
         pallas_blocks.fused_bottleneck_int8 = orig
+        pallas_blocks.fused_bottleneck_down_int8 = orig_down
     np.testing.assert_array_equal(got, want)
 
 
