@@ -38,8 +38,13 @@ def main():
     ap.add_argument('--instances', type=int, default=10,
                     help='instances per synthetic scene (45 pairs at 10)')
     ap.add_argument('--no-pallas', action='store_true',
-                    help='disable the fused im2col pallas bottleneck path '
-                         '(layer1/2) and use pure XLA')
+                    help='disable all pallas kernels and use pure XLA')
+    ap.add_argument('--pallas-features', default=None,
+                    help='comma list from {identity,down,stem} '
+                         '(default: the measured-best mix)')
+    ap.add_argument('--stem-chunks', type=int, default=4,
+                    help='sequential chunks for the XLA stem (bounds the '
+                         '(N,128,128,64) conv-output HBM liveness)')
     args = ap.parse_args()
 
     import jax
@@ -89,6 +94,13 @@ def main():
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
         return x.reshape(-1, sz, sz, 5)
 
+    if args.no_pallas:
+        pallas = False
+    elif args.pallas_features:
+        pallas = tuple(args.pallas_features.split(','))
+    else:
+        pallas = True
+
     if args.dtype == 'int8':
         # PTQ: calibrate activation scales on one prepped batch (f32),
         # quantize weights per-out-channel (models/quantize.py)
@@ -103,7 +115,8 @@ def main():
         def megastep(qp, images, masks, bboxes):
             x = prep_all(images, masks, bboxes)
             o1, o2 = Q.apply_folded_int8_siamese(
-                qp, cfg, x, use_pallas=not args.no_pallas)
+                qp, cfg, x, use_pallas=pallas,
+                stem_chunks=args.stem_chunks)
             s1 = jax.nn.sigmoid(o1)
             s2 = jax.nn.sigmoid(o2)
             return ((s1[:, 1] + s2[:, 0]) / 2 > 0.5,
@@ -118,8 +131,8 @@ def main():
             decisions."""
             x = prep_all(images, masks, bboxes)
             o1, o2 = apply_folded_siamese(folded_params, cfg, x,
-                                          dtype=dtype,
-                                          use_pallas=not args.no_pallas)
+                                          dtype=dtype, use_pallas=pallas,
+                                          stem_chunks=args.stem_chunks)
             s1 = jax.nn.sigmoid(o1)
             s2 = jax.nn.sigmoid(o2)
             i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5

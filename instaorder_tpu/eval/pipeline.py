@@ -217,6 +217,30 @@ def make_folded_predictor(params, stats, cfg, method, dtype=None,
     return OrderPredictor(apply_fn, cfg, folded, stats, method, **kw)
 
 
+def make_int8_predictor(params, stats, cfg, method, calib_batches,
+                        use_pallas=True, **kw):
+    """int8 PTQ OrderPredictor (models/quantize.py): BN-fold, calibrate
+    activation scales on `calib_batches` (list of prep-normalized
+    (N, sz, sz, C) f32 arrays, e.g. a few hundred real pairs), quantize,
+    and serve with int8 HBM storage end-to-end. Roughly halves the
+    serving HBM traffic vs bf16; decisions may flip on
+    threshold-adjacent pairs — validate against the f32 predictor on a
+    held-out slice before production use (tests/test_quantize.py does
+    this on synthetic data).
+    """
+    from ..models.folding import fold_resnet
+    from ..models import quantize as Q
+
+    folded = fold_resnet(params, stats, cfg)
+    scales = Q.calibrate_folded_resnet(folded, cfg, calib_batches)
+    qp = Q.quantize_folded_resnet(folded, cfg, scales)
+
+    def apply_fn(p, s, c, x, train=False):
+        return Q.apply_folded_int8(p, c, x, use_pallas=use_pallas), s
+
+    return OrderPredictor(apply_fn, cfg, qp, stats, method, **kw)
+
+
 class DisparityOrderPredictor:
     """Depth-order from a disparity map (reference net_forward_midas_
     pretrained + the disp_select_method branch of infer_order_sup_depth,

@@ -51,7 +51,37 @@ def fold_resnet(params, stats, cfg):
     return out
 
 
-def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False):
+# pallas feature sets for `use_pallas`: True/'default' = the measured-best
+# mix; a tuple/set of {'identity', 'down', 'stem'} picks kernels explicitly.
+_PALLAS_DEFAULT = frozenset(('identity', 'down'))
+
+
+def _pallas_features(use_pallas):
+    if not use_pallas:
+        return frozenset()
+    if use_pallas is True or use_pallas == 'default':
+        return _PALLAS_DEFAULT
+    return frozenset(use_pallas)
+
+
+def _xla_stem(conv1, x, chunks=1):
+    """conv1 7x7/2 + relu + maxpool in XLA. chunks > 1 bounds the
+    transient (N, H/2, W/2, 64) conv output (lane-padded it is 2x 4GB at
+    serving batch — enough to OOM HBM when two siamese stems are live)
+    by processing the batch in `chunks` sequential slices."""
+    def stem(xc):
+        h = jax.nn.relu(cnn.conv2d(conv1, xc, stride=2, padding=3))
+        return cnn.max_pool(h, 3, 2, 1)
+    n = x.shape[0]
+    if chunks <= 1 or n % chunks:
+        return stem(x)
+    xs = x.reshape(chunks, n // chunks, *x.shape[1:])
+    return jax.lax.map(stem, xs).reshape(n, x.shape[1] // 4,
+                                         x.shape[2] // 4, -1)
+
+
+def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
+                         stem_chunks=1):
     """Both swap directions WITHOUT materialising a swapped input copy.
 
     Pass 2's input is pass 1's with mask channels 0,1 exchanged, so
@@ -60,7 +90,13 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False):
     same x, concat at the stem output, and run the trunk once on the 2N
     batch — saving a full copy of the (large) input batch in HBM.
 
+    use_pallas: False, True (measured-best kernel mix) or an explicit
+    feature collection from {'identity', 'down', 'stem'}.
+    stem_chunks: sequential batch chunks for the XLA stem (bounds HBM
+    liveness at large serving batches; ignored by the pallas stem).
+
     Returns (out1, out2)."""
+    feats = _pallas_features(use_pallas)
     cin = params['conv1']['w'].shape[2]
     perm = [1, 0] + list(range(2, cin))
     swapped_conv1 = {'w': params['conv1']['w'][:, :, perm, :],
@@ -69,14 +105,19 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False):
         x = x.astype(dtype)
         params = cnn.tree_cast(params, dtype)
         swapped_conv1 = cnn.tree_cast(swapped_conv1, dtype)
-    # NB: ops/pallas_blocks.fused_stem exists and passes interpret-mode
-    # parity, but the current Mosaic toolchain rejects its stride-2
-    # VMEM loads/shape-casts at 256^2 bf16 — the XLA stem stays in use
-    # (round-2: de-interleaved parity buffers to make taps unit-stride).
-    h1 = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
-    h2 = cnn.conv2d(swapped_conv1, x, stride=2, padding=3)
-    h = jax.nn.relu(jnp.concatenate([h1, h2], axis=0))
-    h = cnn.max_pool(h, 3, 2, 1)
+    if 'stem' in feats and _stem_fusable(params['conv1']['w'], x):
+        # VMEM-resident stem (mod-4 parity planes). Correct but measured
+        # slower than the XLA stem (the pack transpose costs as much as
+        # the stem itself) — off by default; chunked XLA stem handles
+        # the HBM-liveness problem instead.
+        from ..ops.pallas_blocks import fused_stem
+        h1 = fused_stem(x, params['conv1']['w'], params['conv1']['b'])
+        h2 = fused_stem(x, swapped_conv1['w'], swapped_conv1['b'])
+        h = jnp.concatenate([h1, h2], axis=0)
+    else:
+        h1 = _xla_stem(params['conv1'], x, chunks=stem_chunks)
+        h2 = _xla_stem(swapped_conv1, x, chunks=stem_chunks)
+        h = jnp.concatenate([h1, h2], axis=0)
     out = _apply_trunk(params, cfg, h, use_pallas=use_pallas)
     if isinstance(out, tuple):
         n = x.shape[0]
@@ -88,9 +129,11 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False):
 def _apply_trunk(params, cfg, out, use_pallas=False):
     """Post-stem trunk + head(s) of the folded ResNet (NHWC).
 
-    use_pallas: route stride-1 identity-skip bottleneck blocks through the
-    fused VMEM-resident Pallas kernel (TPU serving fast path; ~7x faster
-    than the XLA lowering for these blocks at inference batch sizes)."""
+    use_pallas (bool or feature collection, see apply_folded_siamese):
+    'identity' routes stride-1 identity-skip bottleneck blocks through the
+    fused VMEM-resident Pallas kernel; 'down' routes the projection
+    blocks through fused_bottleneck_down."""
+    feats = _pallas_features(use_pallas)
     block = cfg['block']
     groups = cfg['groups']
     for li in range(4):
@@ -103,7 +146,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
             # stages: measured best (3901 pairs/s vs 3853 XLA vs 3782 for
             # the whole-stage variant whose resident weight stacks at
             # layer3/4 hurt pipelining)
-            fusable = (use_pallas and block == 'bottleneck' and
+            fusable = ('identity' in feats and block == 'bottleneck' and
                        stride == 1 and groups == 1 and 'down' not in bp
                        and bp['conv1']['w'].shape[2] <= 512)
             if fusable:
@@ -115,7 +158,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                     bp['conv3']['w'][0, 0], bp['conv3']['b'])
                 bi += 1
                 continue
-            fusable_down = (use_pallas and block == 'bottleneck' and
+            fusable_down = ('down' in feats and block == 'bottleneck' and
                             groups == 1 and 'down' in bp
                             and bp['conv1']['w'].shape[2] <= 512)
             if fusable_down:
@@ -151,7 +194,8 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
     return cnn.linear(cnn.tree_cast(params['fc'], jnp.float32), pooled)
 
 
-def apply_folded(params, cfg, x, dtype=None, use_pallas=False):
+def apply_folded(params, cfg, x, dtype=None, use_pallas=False,
+                 stem_chunks=1):
     """Lean inference forward for folded ResNet params (NHWC).
 
     dtype: compute dtype (e.g. jnp.bfloat16 for the serving fast path);
@@ -160,7 +204,17 @@ def apply_folded(params, cfg, x, dtype=None, use_pallas=False):
     if dtype is not None:
         x = x.astype(dtype)
         params = cnn.tree_cast(params, dtype)
-    out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
-    out = jax.nn.relu(out)
-    out = cnn.max_pool(out, 3, 2, 1)
+    feats = _pallas_features(use_pallas)
+    if 'stem' in feats and _stem_fusable(params['conv1']['w'], x):
+        from ..ops.pallas_blocks import fused_stem
+        out = fused_stem(x, params['conv1']['w'], params['conv1']['b'])
+    else:
+        out = _xla_stem(params['conv1'], x, chunks=stem_chunks)
     return _apply_trunk(params, cfg, out, use_pallas=use_pallas)
+
+
+def _stem_fusable(w, x):
+    """fused_stem covers the standard ResNet stem: 7x7, stride 2 + 3x3/2
+    maxpool, spatial dims divisible by 4."""
+    return (w.shape[0] == 7 and w.shape[1] == 7 and
+            x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)

@@ -178,14 +178,20 @@ def quantize_input(x, s_in):
                     ).astype(jnp.int8)
 
 
+def _pallas_features(use_pallas):
+    from .folding import _pallas_features as f
+    return f(use_pallas)
+
+
 def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
     """int8 stem output -> f32 head logits."""
+    feats = _pallas_features(use_pallas)
     groups = cfg['groups']
     assert groups == 1, 'int8 path: groups>1 stays on the bf16 path'
     for li in range(4):
         for bi, qb in enumerate(q[f'layer{li + 1}']):
             stride = 2 if (li > 0 and bi == 0) else 1
-            if 'down' not in qb and stride == 1 and use_pallas:
+            if 'down' not in qb and stride == 1 and 'identity' in feats:
                 from ..ops.pallas_blocks import fused_bottleneck_int8
                 h8 = fused_bottleneck_int8(
                     h8, qb['conv1']['w'][0, 0], qb['conv1']['m'],
@@ -193,7 +199,7 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
                     qb['conv2']['b'], qb['conv3']['w'][0, 0],
                     qb['conv3']['m'], qb['conv3']['b'], qb['sxr'])
                 continue
-            if 'down' in qb and use_pallas:
+            if 'down' in qb and 'down' in feats:
                 # projection blocks: the XLA path materialises the full
                 # s32 conv accumulators ((N,64,64,256) = 8.4GB at bench
                 # batch — HBM OOM); the fused kernel keeps them in VMEM
@@ -228,23 +234,39 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
     return cnn.linear(q['fc'], pooled)
 
 
-def _stem_int8(q, x8):
-    acc = _conv_int8(q['conv1'], x8, stride=2, padding=3)
-    h8 = _requant(acc, q['conv1']['m'], q['conv1']['b'])
-    # maxpool commutes with the monotone requant: pool the int8 directly
-    return jax.lax.reduce_window(
-        h8, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        [(0, 0), (1, 1), (1, 1), (0, 0)])
+def _stem_int8(q, x8, use_pallas=False, chunks=1):
+    feats = _pallas_features(use_pallas)
+    if ('stem' in feats and q['conv1']['w'].shape[:2] == (7, 7) and
+            x8.shape[1] % 4 == 0 and x8.shape[2] % 4 == 0):
+        # VMEM-resident stem (no (N,128,128,64) s32/int8 HBM round trips)
+        from ..ops.pallas_blocks import fused_stem_int8
+        return fused_stem_int8(x8, q['conv1']['w'], q['conv1']['m'],
+                               q['conv1']['b'])
+    def stem(xc):
+        acc = _conv_int8(q['conv1'], xc, stride=2, padding=3)
+        h = _requant(acc, q['conv1']['m'], q['conv1']['b'])
+        # maxpool commutes with the monotone requant: pool int8 directly
+        return jax.lax.reduce_window(
+            h, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)])
+    n = x8.shape[0]
+    if chunks <= 1 or n % chunks:
+        return stem(x8)
+    # sequential chunks bound the (N, H/2, W/2, 64) s32 accumulator /
+    # requant transients at serving batch sizes
+    xs = x8.reshape(chunks, n // chunks, *x8.shape[1:])
+    return jax.lax.map(stem, xs).reshape(n, x8.shape[1] // 4,
+                                         x8.shape[2] // 4, -1)
 
 
-def apply_folded_int8(q, cfg, x, use_pallas=True):
+def apply_folded_int8(q, cfg, x, use_pallas=True, stem_chunks=1):
     """f32/bf16 prep output -> int8 trunk -> f32 logits."""
     x8 = quantize_input(x, q['cfg_scales']['in'])
-    h8 = _stem_int8(q, x8)
+    h8 = _stem_int8(q, x8, use_pallas=use_pallas, chunks=stem_chunks)
     return _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
 
 
-def apply_folded_int8_siamese(q, cfg, x, use_pallas=True):
+def apply_folded_int8_siamese(q, cfg, x, use_pallas=True, stem_chunks=1):
     """Both swap directions without a swapped input copy (the folded-bf16
     trick, models/folding.py:54-85): conv1(swap(x)) == conv1'(x) with
     input-channel rows 0,1 exchanged."""
@@ -252,8 +274,9 @@ def apply_folded_int8_siamese(q, cfg, x, use_pallas=True):
     perm = [1, 0] + list(range(2, cin))
     conv1_sw = dict(q['conv1'], w=q['conv1']['w'][:, :, perm, :])
     x8 = quantize_input(x, q['cfg_scales']['in'])
-    h1 = _stem_int8(q, x8)
-    h2 = _stem_int8(dict(q, conv1=conv1_sw), x8)
+    h1 = _stem_int8(q, x8, use_pallas=use_pallas, chunks=stem_chunks)
+    h2 = _stem_int8(dict(q, conv1=conv1_sw), x8, use_pallas=use_pallas,
+                    chunks=stem_chunks)
     h8 = jnp.concatenate([h1, h2], axis=0)
     out = _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
     n = x.shape[0]

@@ -274,79 +274,6 @@ def fused_bottleneck_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, sxr,
       jnp.asarray(sxr, jnp.float32).reshape(1, 1))
 
 
-def _stem_kernel(x_ref, w_ref, b_ref, out_ref, xp_ref, hp_ref):
-    """Fused ResNet stem: conv 7x7/2 (pad 3) + bias + relu + maxpool
-    3x3/2 (pad 1), all VMEM-resident. One image tile per grid step.
-
-    x_ref: (B, H, W, C); out: (B, H//4, W//4, Cout).
-    xp_ref: (B, H+6, W+6, C) zero-padded input scratch.
-    hp_ref: (B, H//2+2, W//2+2, Cout) conv output scratch (padded with
-    -inf for the maxpool)."""
-    B, H, W, C = x_ref.shape
-    Cout = w_ref.shape[-1]
-    Ho, Wo = H // 2, W // 2
-
-    # NB: scratch is f32 — Mosaic only implements strided (stride-2)
-    # VMEM loads for 32-bit data; taps are cast back after the load.
-    xp_ref[:] = jnp.zeros_like(xp_ref)
-    xp_ref[:, 3:H + 3, 3:W + 3, :] = x_ref[:].astype(xp_ref.dtype)
-
-    # im2col over the 49 taps at stride 2 -> (B*Ho*Wo, 49*C)
-    cols = jnp.concatenate(
-        [xp_ref[:, dy:dy + H:2, dx:dx + W:2, :]
-         .reshape(B * Ho * Wo, C).astype(x_ref.dtype)
-         for dy in range(7) for dx in range(7)], axis=1)
-    h = jnp.dot(cols, w_ref[:].reshape(49 * C, Cout),
-                preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b_ref[:], 0.0).astype(x_ref.dtype)
-
-    neg = jnp.asarray(-jnp.inf, x_ref.dtype)
-    hp_ref[:] = jnp.full_like(hp_ref, neg)
-    hp_ref[:, 1:Ho + 1, 1:Wo + 1, :] = h.reshape(B, Ho, Wo, Cout)
-
-    # maxpool 3x3 stride 2 pad 1 -> (B, Ho//2, Wo//2, Cout)
-    Hq, Wq = Ho // 2, Wo // 2
-    pooled = None
-    for dy in range(3):
-        for dx in range(3):
-            win = hp_ref[:, dy:dy + Ho:2, dx:dx + Wo:2, :]
-            pooled = win if pooled is None else jnp.maximum(pooled, win)
-    out_ref[:] = pooled
-
-
-@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
-def fused_stem(x, w, b, interpret=False, batch_tile=1):
-    """x: (N, H, W, C); w: (7, 7, C, Cout) HWIO; b: (Cout,).
-    Returns (N, H//4, W//4, Cout) — the conv1+relu+maxpool stem with the
-    intermediate 2x-resolution conv output never touching HBM."""
-    N, H, W, C = x.shape
-    Cout = w.shape[-1]
-    B = batch_tile
-    assert N % B == 0 and H % 4 == 0 and W % 4 == 0
-
-    return pl.pallas_call(
-        _stem_kernel,
-        grid=(N // B,),
-        in_specs=[
-            pl.BlockSpec((B, H, W, C), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, H // 4, W // 4, Cout),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, H // 4, W // 4, Cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((B, H + 6, W + 6, C), jnp.float32),
-            pltpu.VMEM((B, H // 2 + 2, W // 2 + 2, Cout), x.dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x, w, b.astype(jnp.float32))
-
-
 def stem_reference(x, w, b):
     """XLA reference stem for parity tests."""
     from ..core import nn as cnn
@@ -663,3 +590,208 @@ def fused_bottleneck_down_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
             pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cm), jnp.bfloat16)],
         compiler_params=cp, interpret=interpret,
     )(xp, *args)
+
+
+# ---------------------------------------------------------------------------
+# Fused stem: conv 7x7/2 (pad 3) + bias + relu (+ requant) + maxpool 3x3/2
+# (pad 1), VMEM-resident. The two stride-2 stages are handled with a mod-4
+# space-to-depth packing: the padded input is reshaped to
+# (N, 66, 66, 16*C) where lane (qy*4 + qx)*C + c holds x[4*ky+qy, 4*kx+qx, c]
+# — every 7x7/2 tap becomes a unit-stride spatial slice contracted against a
+# weight matrix with the taps embedded at the right lane rows, and the conv
+# output is produced directly as 2x2 parity planes so the stride-2 maxpool
+# is 9 unit-stride plane slices. No strided VMEM loads (Mosaic has none for
+# non-32-bit data) and no 25x lane padding from the raw 5-channel input.
+# Replaces the XLA stem whose 128^2 conv output materialises
+# (N, 128, 128, 64) in HBM (8.4GB lane-padded at bench batch).
+# ---------------------------------------------------------------------------
+
+def _stem_pack(x):
+    """(N, H, W, C) -> (N, H//4 + 2, W//4 + 2, 16*C) mod-4 packed, padded
+    3 front / 5 back (conv pad 3, and 4-alignment slack)."""
+    N, H, W, C = x.shape
+    xpad = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+    Ky, Kx = (H + 8) // 4, (W + 8) // 4
+    xp = xpad.reshape(N, Ky, 4, Kx, 4, C).transpose(0, 1, 3, 2, 4, 5)
+    return xp.reshape(N, Ky, Kx, 16 * C)
+
+
+def _stem_plane_weights(w):
+    """(7, 7, C, Cout) -> (2, 2, 3, 3, 16*C, Cout): for conv-output parity
+    plane (a, b) and spatial slice offset (k0y, k0x), the (16*C, Cout)
+    matrix with w[dy, dx] embedded at lane rows (qy*4 + qx)*C + c where
+    dy = 4*k0y + qy - 2*a (zero where dy falls outside [0, 7))."""
+    import numpy as _np
+    C, Cout = w.shape[2], w.shape[3]
+    a = _np.arange(2)[:, None, None]
+    k0 = _np.arange(3)[None, :, None]
+    q = _np.arange(4)[None, None, :]
+    d = 4 * k0 + q - 2 * a                    # (2, 3, 4)
+    valid = (d >= 0) & (d < 7)
+    dc = _np.clip(d, 0, 6)
+    wq = jnp.asarray(w)[dc[:, :, :, None, None, None],
+                        dc[None, None, None]]
+    # (2,3,4, 2,3,4, C, Cout) indexed (a,k0y,qy, b,k0x,qx, c, o)
+    mask = valid[:, :, :, None, None, None] & valid[None, None, None]
+    wq = jnp.where(jnp.asarray(mask)[..., None, None], wq,
+                   jnp.zeros((), wq.dtype))
+    wq = wq.transpose(0, 3, 1, 4, 2, 5, 6, 7)  # (a,b,k0y,k0x,qy,qx,C,Cout)
+    return wq.reshape(2, 2, 3, 3, 16 * C, Cout)
+
+
+def _stem_v2_kernel(xp_ref, w_ref, b_ref, out_ref, hp_ref):
+    """xp (B, Ky, Kx, 16C) packed input; w (2,2,3,3,16C,Cout); out
+    (B, Ho, Wo, Cout) pooled stem output; hp scratch (2,2,B,Ho+1,Wo+1,
+    Cout) conv-output parity planes (front pad 1 for the pool)."""
+    B, Ky, Kx, CL = xp_ref.shape
+    _, _, _, Hp, Wp, Cout = hp_ref.shape
+    Ho, Wo = Hp - 1, Wp - 1
+
+    hp_ref[:] = jnp.zeros_like(hp_ref)
+    for a in range(2):
+        for b in range(2):
+            acc = None
+            for k0y in range(3):
+                for k0x in range(3):
+                    X = xp_ref[:, k0y:k0y + Ho, k0x:k0x + Wo, :].reshape(
+                        B * Ho * Wo, CL)
+                    p = jnp.dot(X, w_ref[a, b, k0y, k0x],
+                                preferred_element_type=jnp.float32)
+                    acc = p if acc is None else acc + p
+            h = jnp.maximum(acc + b_ref[:], 0.0).astype(xp_ref.dtype)
+            hp_ref[a, b, :, 1:, 1:, :] = h.reshape(B, Ho, Wo, Cout)
+
+    pooled = None
+    for dy in range(3):
+        a, sy = _S2_PLANE[dy]
+        for dx in range(3):
+            b, sx = _S2_PLANE[dx]
+            win = hp_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
+            pooled = win if pooled is None else jnp.maximum(pooled, win)
+    out_ref[:] = pooled
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+def fused_stem(x, w, b, interpret=False, batch_tile=None):
+    """x: (N, H, W, C); w: (7, 7, C, Cout) HWIO; b: (Cout,).
+    Returns (N, H//4, W//4, Cout) — conv1 + relu + maxpool with the
+    128^2-resolution conv output never touching HBM
+    (reference resnet_cls.py:147-151 stem)."""
+    N, H, W, C = x.shape
+    Cout = w.shape[-1]
+    assert H % 4 == 0 and W % 4 == 0
+    Ho, Wo = H // 4, W // 4
+    if batch_tile is None:
+        it = x.dtype.itemsize
+        # conservative: Mosaic's stack accounting also counts the
+        # per-matmul value copies (X casts, f32 acc), ~2x the resident set
+        per_img = (2 * (Ho + 2) * (Wo + 2) * 16 * C * it +
+                   4 * (Ho + 1) * (Wo + 1) * max(Cout, 128) * it +
+                   2 * Ho * Wo * max(Cout, 128) * it +
+                   Ho * Wo * max(Cout, 128) * 4 +
+                   Ho * Wo * (2 * 16 * C + 2 * max(Cout, 128)))
+        budget = 40 * 1024 * 1024
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    xp = _stem_pack(x)
+    wp = _stem_plane_weights(w)
+    return pl.pallas_call(
+        _stem_v2_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((B, Ho + 2, Wo + 2, 16 * C),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, Ho, Wo, Cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Ho, Wo, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cout), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, wp.astype(x.dtype), b.astype(jnp.float32))
+
+
+def _stem_v2_int8_kernel(xp_ref, w_ref, m_ref, b_ref, out_ref, hp_ref):
+    """Quantized fused stem: int8 packed input/weights, requant epilogue
+    (models/quantize.py), int8 maxpool output."""
+    B, Ky, Kx, CL = xp_ref.shape
+    _, _, _, Hp, Wp, Cout = hp_ref.shape
+    Ho, Wo = Hp - 1, Wp - 1
+
+    hp_ref[:] = jnp.zeros_like(hp_ref)
+    for a in range(2):
+        for b in range(2):
+            acc = None
+            for k0y in range(3):
+                for k0x in range(3):
+                    X = xp_ref[:, k0y:k0y + Ho, k0x:k0x + Wo, :].reshape(
+                        B * Ho * Wo, CL).astype(jnp.bfloat16)
+                    p = jnp.dot(X, w_ref[a, b, k0y, k0x].astype(
+                        jnp.bfloat16), preferred_element_type=jnp.float32)
+                    acc = p if acc is None else acc + p
+            h = jnp.clip(jnp.round(jnp.maximum(
+                acc * m_ref[:] + b_ref[:], 0.0)), 0, 127
+                ).astype(jnp.bfloat16)
+            hp_ref[a, b, :, 1:, 1:, :] = h.reshape(B, Ho, Wo, Cout)
+
+    pooled = None
+    for dy in range(3):
+        a, sy = _S2_PLANE[dy]
+        for dx in range(3):
+            b, sx = _S2_PLANE[dx]
+            win = hp_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
+            pooled = win if pooled is None else jnp.maximum(pooled, win)
+    out_ref[:] = pooled.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+def fused_stem_int8(x8, w8, m, b, interpret=False, batch_tile=None):
+    """x8: (N, H, W, C) int8; w8: (7, 7, C, Cout) int8; m/b: (Cout,) f32
+    folded requant scale/bias (models/quantize.py conv1 epilogue).
+    Returns int8 (N, H//4, W//4, Cout)."""
+    N, H, W, C = x8.shape
+    Cout = w8.shape[-1]
+    assert H % 4 == 0 and W % 4 == 0
+    Ho, Wo = H // 4, W // 4
+    if batch_tile is None:
+        per_img = (2 * (Ho + 2) * (Wo + 2) * 16 * C +
+                   4 * (Ho + 1) * (Wo + 1) * max(Cout, 128) * 2 +
+                   2 * Ho * Wo * max(Cout, 128) +
+                   Ho * Wo * max(Cout, 128) * 4 +
+                   Ho * Wo * (2 * 16 * C + 2 * max(Cout, 128)))
+        budget = 40 * 1024 * 1024
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    xp = _stem_pack(x8)
+    wp = _stem_plane_weights(w8)
+    return pl.pallas_call(
+        _stem_v2_int8_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((B, Ho + 2, Wo + 2, 16 * C),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, Ho, Wo, Cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Ho, Wo, Cout), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cout), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, wp, m.astype(jnp.float32), b.astype(jnp.float32))

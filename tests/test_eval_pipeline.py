@@ -153,3 +153,30 @@ def test_disparity_order_predictor_gradient():
     masks[1, 70:95, 10:60] = 1   # bottom -> farther
     m = pred.infer_depth_order(image, masks)
     assert m[0, 1] == 1 and m[1, 0] == 0  # 0 closer than 1
+
+
+def test_int8_predictor_agrees_with_f32():
+    """make_int8_predictor: PTQ-quantized serving predictor decisions
+    match the f32 predictor on the synthetic scene (small logits can
+    flip near the 0.5 threshold; require >= 90% matrix agreement)."""
+    from instaorder_tpu.eval.pipeline import (make_folded_predictor,
+                                              make_int8_predictor)
+    from instaorder_tpu.ops.pairs import (all_pair_indices,
+                                          build_pair_batch)
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(13), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(6)
+    pair_idx, _ = all_pair_indices(6)
+    calib = np.asarray(build_pair_batch(image, masks, bboxes,
+                                        jnp.asarray(pair_idx),
+                                        out_size=64, rgb_method='cubic'),
+                       np.float32)
+    f32 = make_folded_predictor(params, stats, cfg, 'InstaOrderNet_o',
+                                patch_or_image='patch', input_size=64)
+    q = make_int8_predictor(params, stats, cfg, 'InstaOrderNet_o',
+                            [calib], use_pallas=False,
+                            patch_or_image='patch', input_size=64)
+    m1 = f32.infer_occ_order(image, masks, bboxes)
+    m2 = q.infer_occ_order(image, masks, bboxes)
+    assert (m1 == m2).mean() >= 0.9, (m1, m2)

@@ -60,24 +60,18 @@ def test_folded_trunk_with_pallas_interpret_equivalence():
     x = np.random.RandomState(0).randn(2, 64, 64, 5).astype(np.float32)
     want = np.asarray(apply_folded(folded, cfg, x))
 
-    orig = pallas_blocks.fused_bottleneck
-    orig_down = pallas_blocks.fused_bottleneck_down
-
-    def interp(x_, *a, **kw):
-        kw['interpret'] = True
-        return orig(x_, *a, **kw)
-
-    def interp_down(x_, *a, **kw):
-        kw['interpret'] = True
-        return orig_down(x_, *a, **kw)
-
-    pallas_blocks.fused_bottleneck = interp
-    pallas_blocks.fused_bottleneck_down = interp_down
+    names = ('fused_bottleneck', 'fused_bottleneck_down', 'fused_stem')
+    origs = {n: getattr(pallas_blocks, n) for n in names}
+    for n in names:
+        setattr(pallas_blocks, n,
+                (lambda o: lambda *a, **kw: o(*a, **dict(kw,
+                                                         interpret=True)))(
+                    origs[n]))
     try:
         got = np.asarray(apply_folded(folded, cfg, x, use_pallas=True))
     finally:
-        pallas_blocks.fused_bottleneck = orig
-        pallas_blocks.fused_bottleneck_down = orig_down
+        for n in names:
+            setattr(pallas_blocks, n, origs[n])
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
@@ -192,4 +186,22 @@ def test_fused_bottleneck_down_int8_parity(stride, cin, cm, cout):
     want = np.asarray(jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)),
                                0, 127).astype(jnp.int8))
     assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_stem_int8_parity():
+    """int8 stem kernel == quantize.py's XLA int8 stem, bit-exact."""
+    from instaorder_tpu.ops.pallas_blocks import fused_stem_int8
+    from instaorder_tpu.models import quantize as Q
+    rng = np.random.RandomState(5)
+    x8 = rng.randint(-127, 128, (2, 32, 32, 5)).astype(np.int8)
+    w8 = rng.randint(-127, 128, (7, 7, 5, 64)).astype(np.int8)
+    m = (rng.rand(64).astype(np.float32) + 0.5) * 1e-3
+    b = rng.randn(64).astype(np.float32) * 0.1
+    q = {'conv1': {'w': jnp.asarray(w8), 'm': jnp.asarray(m),
+                   'b': jnp.asarray(b)}}
+    want = np.asarray(Q._stem_int8(q, jnp.asarray(x8)))
+    got = np.asarray(fused_stem_int8(jnp.asarray(x8), jnp.asarray(w8),
+                                     jnp.asarray(m), jnp.asarray(b),
+                                     interpret=True, batch_tile=2))
     np.testing.assert_array_equal(got, want)

@@ -88,24 +88,19 @@ def test_int8_full_path_pallas_interpret_equals_xla(small_net):
     x = jnp.asarray(xs[1])
     want = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=False))
 
-    orig = pallas_blocks.fused_bottleneck_int8
-    orig_down = pallas_blocks.fused_bottleneck_down_int8
-
-    def interp(x_, *a, **kw):
-        kw['interpret'] = True
-        return orig(x_, *a, **kw)
-
-    def interp_down(x_, *a, **kw):
-        kw['interpret'] = True
-        return orig_down(x_, *a, **kw)
-
-    pallas_blocks.fused_bottleneck_int8 = interp
-    pallas_blocks.fused_bottleneck_down_int8 = interp_down
+    names = ('fused_bottleneck_int8', 'fused_bottleneck_down_int8',
+             'fused_stem_int8')
+    origs = {n: getattr(pallas_blocks, n) for n in names}
+    for n in names:
+        setattr(pallas_blocks, n,
+                (lambda o: lambda *a, **kw: o(*a, **dict(kw,
+                                                         interpret=True)))(
+                    origs[n]))
     try:
         got = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=True))
     finally:
-        pallas_blocks.fused_bottleneck_int8 = orig
-        pallas_blocks.fused_bottleneck_down_int8 = orig_down
+        for n in names:
+            setattr(pallas_blocks, n, origs[n])
     np.testing.assert_array_equal(got, want)
 
 
