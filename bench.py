@@ -42,9 +42,10 @@ def main():
     ap.add_argument('--pallas-features', default=None,
                     help='comma list from {identity,down,stem} '
                          '(default: the measured-best mix)')
-    ap.add_argument('--stem-chunks', type=int, default=4,
+    ap.add_argument('--stem-chunks', type=int, default=None,
                     help='sequential chunks for the XLA stem (bounds the '
-                         '(N,128,128,64) conv-output HBM liveness)')
+                         '(N,128,128,64) conv-output HBM liveness); '
+                         'default 1 for bf16/f32, 4 for int8')
     args = ap.parse_args()
 
     import jax
@@ -94,6 +95,8 @@ def main():
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
         return x.reshape(-1, sz, sz, 5)
 
+    if args.stem_chunks is None:
+        args.stem_chunks = 4 if args.dtype == 'int8' else 1
     if args.no_pallas:
         pallas = False
     elif args.pallas_features:

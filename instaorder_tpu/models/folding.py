@@ -53,7 +53,10 @@ def fold_resnet(params, stats, cfg):
 
 # pallas feature sets for `use_pallas`: True/'default' = the measured-best
 # mix; a tuple/set of {'identity', 'down', 'stem'} picks kernels explicitly.
-_PALLAS_DEFAULT = frozenset(('identity', 'down'))
+# bf16 A/B (bench, 1080 pairs/step): identity-only 3661 > identity+down
+# 3342 > +stem 2999 pairs/s — the XLA-side space-to-depth copies feeding
+# the stride-2 kernels cost more than their VMEM residency saves.
+_PALLAS_DEFAULT = frozenset(('identity',))
 
 
 def _pallas_features(use_pallas):
@@ -146,9 +149,39 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
             # stages: measured best (3901 pairs/s vs 3853 XLA vs 3782 for
             # the whole-stage variant whose resident weight stacks at
             # layer3/4 hurt pipelining)
-            fusable = ('identity' in feats and block == 'bottleneck' and
-                       stride == 1 and groups == 1 and 'down' not in bp
-                       and bp['conv1']['w'].shape[2] <= 512)
+            def _iden_ok(p):
+                return (block == 'bottleneck' and groups == 1 and
+                        'down' not in p and
+                        p['conv1']['w'].shape[2] <= 512)
+            if ('stage' in feats and stride == 1 and _iden_ok(bp)):
+                # whole-stage residency: run the consecutive identity
+                # blocks of this layer in ONE kernel (inter-block
+                # activations never touch HBM)
+                run = [bp]
+                while bi + len(run) < len(blocks) and _iden_ok(
+                        blocks[bi + len(run)]):
+                    run.append(blocks[bi + len(run)])
+                from ..ops.pallas_blocks import (fused_bottleneck,
+                                                 fused_bottleneck_stage)
+                if len(run) == 1:
+                    out = fused_bottleneck(
+                        out,
+                        bp['conv1']['w'][0, 0], bp['conv1']['b'],
+                        bp['conv2']['w'], bp['conv2']['b'],
+                        bp['conv3']['w'][0, 0], bp['conv3']['b'])
+                else:
+                    out = fused_bottleneck_stage(
+                        out,
+                        jnp.stack([p['conv1']['w'][0, 0] for p in run]),
+                        jnp.stack([p['conv1']['b'] for p in run]),
+                        jnp.stack([p['conv2']['w'] for p in run]),
+                        jnp.stack([p['conv2']['b'] for p in run]),
+                        jnp.stack([p['conv3']['w'][0, 0] for p in run]),
+                        jnp.stack([p['conv3']['b'] for p in run]))
+                bi += len(run)
+                continue
+            fusable = ('identity' in feats and stride == 1 and
+                       _iden_ok(bp))
             if fusable:
                 from ..ops.pallas_blocks import fused_bottleneck
                 out = fused_bottleneck(

@@ -178,9 +178,19 @@ def quantize_input(x, s_in):
                     ).astype(jnp.int8)
 
 
+# int8 default: projection blocks MUST run fused — the XLA int8 path
+# materialises their full s32 accumulators ((N,64,64,256) = 8.4GB at
+# serving batch) and OOMs HBM. A/B: identity+down+XLA-chunked-stem 3279
+# > +pallas-stem 2758 > XLA-unchunked-stem 2614 pairs/s.
+_PALLAS_DEFAULT_INT8 = frozenset(('identity', 'down'))
+
+
 def _pallas_features(use_pallas):
-    from .folding import _pallas_features as f
-    return f(use_pallas)
+    if not use_pallas:
+        return frozenset()
+    if use_pallas is True or use_pallas == 'default':
+        return _PALLAS_DEFAULT_INT8
+    return frozenset(use_pallas)
 
 
 def _apply_trunk_int8(q, cfg, h8, use_pallas=True):

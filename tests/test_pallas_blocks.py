@@ -60,7 +60,8 @@ def test_folded_trunk_with_pallas_interpret_equivalence():
     x = np.random.RandomState(0).randn(2, 64, 64, 5).astype(np.float32)
     want = np.asarray(apply_folded(folded, cfg, x))
 
-    names = ('fused_bottleneck', 'fused_bottleneck_down', 'fused_stem')
+    names = ('fused_bottleneck', 'fused_bottleneck_down', 'fused_stem',
+             'fused_bottleneck_stage')
     origs = {n: getattr(pallas_blocks, n) for n in names}
     for n in names:
         setattr(pallas_blocks, n,
@@ -69,10 +70,13 @@ def test_folded_trunk_with_pallas_interpret_equivalence():
                     origs[n]))
     try:
         got = np.asarray(apply_folded(folded, cfg, x, use_pallas=True))
+        got_all = np.asarray(apply_folded(
+            folded, cfg, x, use_pallas=('stage', 'down', 'stem')))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
     np.testing.assert_allclose(got, want, atol=2e-4)
+    np.testing.assert_allclose(got_all, want, atol=2e-4)
 
 
 def test_fused_stage_parity():
