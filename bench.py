@@ -42,6 +42,12 @@ def main():
     ap.add_argument('--pallas-features', default=None,
                     help='comma list from {identity,down,stem} '
                          '(default: the measured-best mix)')
+    ap.add_argument('--iden-cin-cap', type=int, default=None,
+                    help='max conv1 Cin routed to fused kernels '
+                         '(512 = layers 1/2; 2048 = whole trunk)')
+    ap.add_argument('--bt-budget-mb', type=int, default=None,
+                    help='identity-kernel input-block budget (MB); '
+                         'larger -> bigger batch tiles per grid step')
     ap.add_argument('--stem-chunks', type=int, default=None,
                     help='sequential chunks for the XLA stem (bounds the '
                          '(N,128,128,64) conv-output HBM liveness); '
@@ -97,6 +103,12 @@ def main():
 
     if args.stem_chunks is None:
         args.stem_chunks = 4 if args.dtype == 'int8' else 1
+    if args.bt_budget_mb or args.iden_cin_cap:
+        from instaorder_tpu.ops import pallas_blocks
+        if args.bt_budget_mb:
+            pallas_blocks.BT_BUDGET = args.bt_budget_mb * 1024 * 1024
+        if args.iden_cin_cap:
+            pallas_blocks.IDEN_CIN_CAP = args.iden_cin_cap
     if args.no_pallas:
         pallas = False
     elif args.pallas_features:

@@ -94,7 +94,9 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
     batch — saving a full copy of the (large) input batch in HBM.
 
     use_pallas: False, True (measured-best kernel mix) or an explicit
-    feature collection from {'identity', 'down', 'stem'}.
+    feature collection from {'identity', 'stage', 'down', 'down1',
+    'stem'} ('down1' = stride-1 projection blocks only, avoiding the
+    space-to-depth transform the stride-2 kernels need).
     stem_chunks: sequential batch chunks for the XLA stem (bounds HBM
     liveness at large serving batches; ignored by the pallas stem).
 
@@ -149,10 +151,11 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
             # stages: measured best (3901 pairs/s vs 3853 XLA vs 3782 for
             # the whole-stage variant whose resident weight stacks at
             # layer3/4 hurt pipelining)
+            from ..ops import pallas_blocks as _pb
             def _iden_ok(p):
                 return (block == 'bottleneck' and groups == 1 and
                         'down' not in p and
-                        p['conv1']['w'].shape[2] <= 512)
+                        p['conv1']['w'].shape[2] <= _pb.IDEN_CIN_CAP)
             if ('stage' in feats and stride == 1 and _iden_ok(bp)):
                 # whole-stage residency: run the consecutive identity
                 # blocks of this layer in ONE kernel (inter-block
@@ -191,9 +194,12 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                     bp['conv3']['w'][0, 0], bp['conv3']['b'])
                 bi += 1
                 continue
-            fusable_down = ('down' in feats and block == 'bottleneck' and
+            fusable_down = (('down' in feats or
+                             ('down1' in feats and stride == 1)) and
+                            block == 'bottleneck' and
                             groups == 1 and 'down' in bp
-                            and bp['conv1']['w'].shape[2] <= 512)
+                            and bp['conv1']['w'].shape[2] <=
+                            _pb.IDEN_CIN_CAP)
             if fusable_down:
                 from ..ops.pallas_blocks import fused_bottleneck_down
                 out = fused_bottleneck_down(

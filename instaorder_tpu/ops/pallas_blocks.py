@@ -24,6 +24,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# identity/stage-kernel input-block budget (bytes per grid step). bt=2 at
+# layer1 was tuned under the old 16MB scoped-VMEM default; override (e.g.
+# via bench.py --bt-budget) to re-tune under the 100MB limit.
+BT_BUDGET = 5 * 1024 * 1024
+
+# max conv1 input channels routed to the fused kernels. 512 (= layers
+# 1/2 only) was round-1's per-block best, but the device trace shows
+# every XLA<->pallas boundary costs a full-tensor relayout copy (XLA
+# convs prefer {3,0,2,1}, pallas needs row-major) — lifting the cap to
+# 2048 removes all boundaries between stem and pool.
+IDEN_CIN_CAP = 512
+
+
 def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
                        b3_ref, out_ref, h1p_ref):
     """A tile of B images per grid step: x (B, H, W, Cin) -> out same.
@@ -78,7 +91,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False,
         # the smaller deep stages; bt>2 at layer1 over-pressures VMEM and
         # loses pipelining (measured).
         per_img = H * W * Cin * x.dtype.itemsize
-        budget = 5 * 1024 * 1024
+        budget = BT_BUDGET
         batch_tile = max(1, min(8, budget // max(per_img, 1)))
         while N % batch_tile:
             batch_tile -= 1
@@ -157,7 +170,7 @@ def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
     K, _, Cm = w1.shape
     if batch_tile is None:
         per_img = H * W * Cin * x.dtype.itemsize
-        budget = 5 * 1024 * 1024
+        budget = BT_BUDGET
         batch_tile = max(1, min(8, budget // max(per_img, 1)))
         while N % batch_tile:
             batch_tile -= 1

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Per-op device-time report from a jax.profiler trace of the serving
+megastep (the aux tracing subsystem, SURVEY.md §5 — the reference has
+only wall-clock AverageMeters).
+
+Captures one traced run of the bench megastep on the current backend,
+parses the xplane proto (pure-python protobuf impl per CLAUDE.md), and
+prints the top ops by device time plus a stage rollup. Use to find the
+next serving bottleneck instead of guessing.
+
+Usage: python tools/trace_report.py [--pairs 540] [--dtype bf16]
+       [--pallas-features identity] [--top 25]
+"""
+import argparse
+import glob
+import os
+import sys
+
+os.environ.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION', 'python')
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def build_megastep(args):
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(__file__), '..',
+                                   '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    import numpy as np
+    import jax.numpy as jnp
+    from instaorder_tpu.models import resnet
+    from instaorder_tpu.models.folding import (fold_resnet,
+                                               apply_folded_siamese)
+    from instaorder_tpu.core.nn import tree_cast
+    from instaorder_tpu.ops.pairs import (build_pair_batch_matmul,
+                                          pair_rois, all_pair_indices)
+
+    params, stats, cfg = resnet.init(jax.random.PRNGKey(0),
+                                     arch='resnet50', in_channels=5,
+                                     num_classes=2, weight_init='xavier')
+    folded = tree_cast(fold_resnet(params, stats, cfg), jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    H, W, N = 480, 640, 10
+    n_pairs = N * (N - 1) // 2
+    S = max(1, args.pairs // n_pairs)
+    images = jnp.asarray(rng.randint(0, 255, (S, H, W, 3)), jnp.float32)
+    masks = np.zeros((S, N, H, W), np.float32)
+    bboxes = np.zeros((S, N, 4), np.float32)
+    for s in range(S):
+        for k in range(N):
+            y0, x0 = rng.randint(0, H - 100), rng.randint(0, W - 100)
+            hh, ww = rng.randint(30, 100, 2)
+            masks[s, k, y0:y0 + hh, x0:x0 + ww] = 1
+            bboxes[s, k] = [x0, y0, ww, hh]
+    pair_idx = jnp.asarray(all_pair_indices(N)[0])
+    pallas = (tuple(args.pallas_features.split(','))
+              if args.pallas_features else True)
+
+    @jax.jit
+    def megastep(folded, images, masks, bboxes):
+        def prep(im, m, b):
+            rois = pair_rois(b, pair_idx)
+            return build_pair_batch_matmul(im, m, pair_idx, rois,
+                                           out_size=256,
+                                           dtype=jnp.bfloat16)
+        x = jax.vmap(prep)(images, masks, bboxes).reshape(-1, 256, 256, 5)
+        o1, o2 = apply_folded_siamese(folded, cfg, x, dtype=jnp.bfloat16,
+                                      use_pallas=pallas)
+        s1, s2 = jax.nn.sigmoid(o1), jax.nn.sigmoid(o2)
+        return ((s1[:, 1] + s2[:, 0]) / 2 > .5,
+                (s1[:, 0] + s2[:, 1]) / 2 > .5)
+
+    return megastep, (folded, images, jnp.asarray(masks),
+                      jnp.asarray(bboxes))
+
+
+def parse_xplane(trace_dir):
+    """Aggregate device-time (ms) per HLO op name from the xplane proto
+    (schema: XSpace -> XPlane -> XLine -> XEvent + event_metadata map;
+    tensorflow.tsl.profiler.protobuf.xplane_pb2, pure-python impl)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    paths = glob.glob(os.path.join(
+        trace_dir, 'plugins', 'profile', '*', '*.xplane.pb'))
+    if not paths:
+        raise FileNotFoundError(f'no xplane.pb under {trace_dir}')
+    per_line = {}
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, 'rb') as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if 'TPU' not in plane.name and 'Device' not in plane.name:
+                continue
+            md = dict(plane.event_metadata.items())
+            for line in plane.lines:
+                agg = per_line.setdefault(line.name, {})
+                for ev in line.events:
+                    m = md.get(ev.metadata_id)
+                    name = m.name if m else str(ev.metadata_id)
+                    a = agg.setdefault(name, [0.0, 0])
+                    a[0] += ev.duration_ps / 1e9
+                    a[1] += 1
+    return {ln: sorted(((v[0], v[1], k) for k, v in agg.items()),
+                       reverse=True)
+            for ln, agg in per_line.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--pairs', type=int, default=540)
+    ap.add_argument('--pallas-features', default=None)
+    ap.add_argument('--top', type=int, default=25)
+    ap.add_argument('--out', default='/tmp/instaorder_trace')
+    args = ap.parse_args()
+
+    import jax
+    megastep, inputs = build_megastep(args)
+    out = megastep(*inputs)
+    jax.block_until_ready(out)          # compile + warm
+    out = megastep(*inputs)
+    jax.block_until_ready(out)
+
+    from instaorder_tpu.utils.profiling import trace
+    with trace(args.out):
+        for _ in range(3):
+            out = megastep(*inputs)
+        jax.block_until_ready(out)
+
+    by_line = parse_xplane(args.out)
+    for ln, rows in by_line.items():
+        total = sum(r[0] for r in rows)
+        print(f'\n== line [{ln}]  total {total:.1f} ms over 3 steps ==')
+        for ms, calls, name in rows[:args.top]:
+            print(f'{ms:10.2f} {calls:6d}  {name[:110]}')
+
+
+if __name__ == '__main__':
+    main()
