@@ -141,6 +141,11 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
     feats = _pallas_features(use_pallas)
     block = cfg['block']
     groups = cfg['groups']
+    # 'hwnc': run identity blocks in the layout-native kernel on the
+    # (H, W, N, C) view — entering/leaving is a layout bitcast, not a
+    # copy (see ops/pallas_blocks.fused_bottleneck_hwnc). `is_t` tracks
+    # whether `out` currently holds the transposed view.
+    is_t = False
     for li in range(4):
         blocks = params[f'layer{li + 1}']
         bi = 0
@@ -156,6 +161,20 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                 return (block == 'bottleneck' and groups == 1 and
                         'down' not in p and
                         p['conv1']['w'].shape[2] <= _pb.IDEN_CIN_CAP)
+            if 'hwnc' in feats and stride == 1 and _iden_ok(bp):
+                if not is_t:
+                    out = jnp.transpose(out, (1, 2, 0, 3))
+                    is_t = True
+                out = _pb.fused_bottleneck_hwnc(
+                    out,
+                    bp['conv1']['w'][0, 0], bp['conv1']['b'],
+                    bp['conv2']['w'], bp['conv2']['b'],
+                    bp['conv3']['w'][0, 0], bp['conv3']['b'])
+                bi += 1
+                continue
+            if is_t:
+                out = jnp.transpose(out, (2, 0, 1, 3))
+                is_t = False
             if ('stage' in feats and stride == 1 and _iden_ok(bp)):
                 # whole-stage residency: run the consecutive identity
                 # blocks of this layer in ONE kernel (inter-block
@@ -224,7 +243,8 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                 identity = cnn.conv2d(bp['down'], out, stride=stride)
             out = jax.nn.relu(h + identity)
             bi += 1
-    pooled = jnp.mean(out, axis=(1, 2), dtype=jnp.float32)
+    pooled = jnp.mean(out, axis=(0, 1) if is_t else (1, 2),
+                      dtype=jnp.float32)
     if cfg['dual_head']:
         return (cnn.linear(cnn.tree_cast(params['fc_occ'], jnp.float32),
                            pooled),

@@ -808,3 +808,72 @@ def fused_stem_int8(x8, w8, m, b, interpret=False, batch_tile=None):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, wp, m.astype(jnp.float32), b.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Layout-native ("hwnc") identity bottleneck. XLA lowers its convs with
+# layout {3,0,2,1} on logical (N, H, W, C) — byte-identical to row-major
+# on logical (H, W, N, C). The standard kernels demand row-major NHWC, so
+# XLA inserts a full-tensor relayout copy at every XLA<->pallas boundary
+# (~10ms per (1080, 64, 64, 256) crossing, device trace). This variant
+# takes the logically-transposed (H, W, N, C) view — the transpose is a
+# layout bitcast, not a copy — and indexes spatial shifts on the two
+# MAJOR dims, so no relayout is ever needed.
+# ---------------------------------------------------------------------------
+
+def _bottleneck_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                            b3_ref, out_ref, h1p_ref):
+    """One image per grid step on the (H, W, C) view: x (H, W, Cin) ->
+    out same (a lane-merged slice of the (H, W, N*Cin) array — pallas
+    demands the block's last two dims be (8, 128)-divisible, which rules
+    out a small N tile as the second-minor dim)."""
+    H, W, Cin = x_ref.shape
+    Cm = w1_ref.shape[1]
+
+    x2d = x_ref[:].reshape(H * W, Cin)
+    h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(x2d.dtype)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[1:H + 1, 1:W + 1] = h1.reshape(H, W, Cm)
+
+    cols = jnp.concatenate(
+        [h1p_ref[dy:dy + H, dx:dx + W].reshape(H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                  preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(x2d.dtype)
+
+    out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    out = out + b3_ref[:] + x2d.astype(jnp.float32)
+    out_ref[:] = jnp.maximum(out, 0.0).astype(x2d.dtype).reshape(
+        H, W, Cin)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_bottleneck_hwnc(x, w1, b1, w2, b2, w3, b3, interpret=False):
+    """Identity bottleneck on an (H, W, N, Cin) view (= XLA's preferred
+    conv layout of NHWC, so entering/leaving the kernel is copy-free).
+    The (N, Cin) dims are lane-merged and the grid runs one image per
+    step."""
+    H, W, N, Cin = x.shape
+    Cm = w1.shape[1]
+    xm = x.reshape(H, W, N * Cin)
+
+    out = pl.pallas_call(
+        _bottleneck_hwnc_kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((H, W, Cin), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((H, W, Cin), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W, N * Cin), x.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, Cm), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xm, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32))
+    return out.reshape(H, W, N, Cin)

@@ -61,7 +61,7 @@ def test_folded_trunk_with_pallas_interpret_equivalence():
     want = np.asarray(apply_folded(folded, cfg, x))
 
     names = ('fused_bottleneck', 'fused_bottleneck_down', 'fused_stem',
-             'fused_bottleneck_stage')
+             'fused_bottleneck_stage', 'fused_bottleneck_hwnc')
     origs = {n: getattr(pallas_blocks, n) for n in names}
     for n in names:
         setattr(pallas_blocks, n,
@@ -72,11 +72,14 @@ def test_folded_trunk_with_pallas_interpret_equivalence():
         got = np.asarray(apply_folded(folded, cfg, x, use_pallas=True))
         got_all = np.asarray(apply_folded(
             folded, cfg, x, use_pallas=('stage', 'down', 'stem')))
+        got_hwnc = np.asarray(apply_folded(
+            folded, cfg, x, use_pallas=('hwnc', 'down1')))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
     np.testing.assert_allclose(got, want, atol=2e-4)
     np.testing.assert_allclose(got_all, want, atol=2e-4)
+    np.testing.assert_allclose(got_hwnc, want, atol=2e-4)
 
 
 def test_fused_stage_parity():
