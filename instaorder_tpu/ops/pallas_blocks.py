@@ -51,7 +51,9 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(x2d.dtype)
 
-    # padded scratch (zero borders per image)
+    # padded scratch (zero borders per image; zeroing only at grid step
+    # 0 via pl.when measured slightly WORSE — the branch hurts Mosaic's
+    # schedule more than the redundant memset costs)
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
     h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
 
