@@ -158,9 +158,11 @@ def main():
     d_masks = jnp.asarray(masks)
     d_bboxes = jnp.asarray(bboxes)
 
+    import jax as _jax
     for _ in range(args.warmup):
         ij, ji = megastep(folded, d_images, d_masks, d_bboxes)
-        ij.block_until_ready()
+        _jax.device_get(ij)  # NB: block_until_ready can return without
+        #  waiting through the remote tunnel (measured); device_get can't
     # the TPU is reached through a shared tunnel with high run-to-run
     # variance; report the best of several measurement windows
     best_dt = float('inf')
@@ -168,7 +170,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             ij, ji = megastep(folded, d_images, d_masks, d_bboxes)
-        ij.block_until_ready()
+        _jax.device_get(ij)
         best_dt = min(best_dt, time.perf_counter() - t0)
     dt = best_dt
 
