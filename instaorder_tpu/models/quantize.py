@@ -12,9 +12,8 @@ Scheme (standard PTQ):
   * conv epilogues fold (s_in * s_w / s_out) into one per-channel
     multiplier and bias/s_out into one per-channel offset, so a block is
     int8 in -> matmul -> mul/add/relu/round/clip -> int8 out;
-  * arithmetic runs on the bf16 MXU with f32 accumulation — EXACT for
-    int8 operands (values representable, sums < 2^24) and therefore
-    bit-identical to a native int8 pipeline;
+  * arithmetic is native int8 x int8 -> int32 on the MXU (2x the bf16
+    rate) in both the XLA convs and the pallas kernels — bit-exact;
   * stride-1 identity bottlenecks run in the VMEM-resident Pallas kernel
     (ops/pallas_blocks.fused_bottleneck_int8); stem/downsample blocks run
     XLA convs with int8 HBM storage; heads stay f32.

@@ -203,30 +203,34 @@ def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
       b3.astype(jnp.float32))
 
 
+def _rq8(acc_i32, m, b):
+    """int32 accumulator -> requantized int8 (post-relu one-sided)."""
+    y = jnp.maximum(acc_i32.astype(jnp.float32) * m + b, 0.0)
+    return jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
+
+
 def _bottleneck_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref, m2_ref,
                             b2_ref, w3_ref, m3_ref, b3_ref, sxr_ref,
                             out_ref, h1p_ref):
     """int8-I/O bottleneck: x int8 (B,H,W,Cin) -> out int8 same shape.
 
-    HBM traffic halves vs the bf16 kernel; compute stays on the bf16 MXU
-    with f32 accumulation, which is EXACT integer arithmetic here (int8
-    values are exactly representable in bf16; products <= 127^2 and sums
-    of <= 9*512 of them stay under 2^24), so results are bit-identical to
-    a native int8 pipeline.
+    HBM traffic halves vs the bf16 kernel and all three matmuls run as
+    NATIVE int8 x int8 -> int32 on the MXU (2x the bf16 rate, verified
+    exact on device) — no operand casts; intermediates are stored int8
+    in VMEM. Results are bit-identical to the XLA int8 oracle
+    (models/quantize.py): int32 accumulation is exact and the requant
+    epilogues use the same f32 mul/add/round/clip.
 
     w* int8; m* f32 per-out-channel (s_in*s_w*r_out folded); b* f32
     (bias*r_out folded); sxr (1,1) f32 = s_x*r_out for the residual.
-    Outputs are relu'd and requantized: clip(round(.), 0, 127).
     """
     B, H, W, Cin = x_ref.shape
     Cm = w1_ref.shape[1]
 
-    x2d = x_ref[:].reshape(B * H * W, Cin).astype(jnp.bfloat16)
+    x2d = x_ref[:].reshape(B * H * W, Cin)
 
-    acc = jnp.dot(x2d, w1_ref[:].astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    h1 = jnp.clip(jnp.round(jnp.maximum(acc * m1_ref[:] + b1_ref[:], 0.0)),
-                  0, 127).astype(jnp.bfloat16)
+    acc = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.int32)
+    h1 = _rq8(acc, m1_ref[:], b1_ref[:])
 
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
     h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
@@ -234,14 +238,13 @@ def _bottleneck_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref, m2_ref,
     cols = jnp.concatenate(
         [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
          for dy in range(3) for dx in range(3)], axis=1)
-    acc2 = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm).astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    h2 = jnp.clip(jnp.round(jnp.maximum(acc2 * m2_ref[:] + b2_ref[:], 0.0)),
-                  0, 127).astype(jnp.bfloat16)
+    acc2 = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                   preferred_element_type=jnp.int32)
+    h2 = _rq8(acc2, m2_ref[:], b2_ref[:])
 
-    acc3 = jnp.dot(h2, w3_ref[:].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    out = acc3 * m3_ref[:] + b3_ref[:] + x2d.astype(jnp.float32) * sxr_ref[0, 0]
+    acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
+    out = (acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:] +
+           x2d.astype(jnp.float32) * sxr_ref[0, 0])
     out_ref[:] = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0, 127
                           ).astype(jnp.int8).reshape(B, H, W, Cin)
 
@@ -279,7 +282,7 @@ def fused_bottleneck_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, sxr,
         out_specs=pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
-        scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -464,18 +467,15 @@ def _bottleneck_down_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
                                  wd_ref, md_ref, bd_ref, out_ref, h1p_ref):
     """Quantized stride-1 projection bottleneck (see
     _bottleneck_down_kernel + models/quantize.py epilogue math).
-    x int8 (B, H, W, Cin) -> out int8 (B, H, W, Cout). Arithmetic on
-    the bf16 MXU with f32 accumulation — exact for int8 operands
-    (quantize.py docstring)."""
+    x int8 (B, H, W, Cin) -> out int8 (B, H, W, Cout). Matmuls run as
+    native int8 x int8 -> int32 on the MXU."""
     B, H, W, Cin = x_ref.shape
     Cout = out_ref.shape[-1]
     Cm = w1_ref.shape[1]
 
-    x2d = x_ref[:].reshape(B * H * W, Cin).astype(jnp.bfloat16)
-    acc = jnp.dot(x2d, w1_ref[:].astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    h1 = jnp.clip(jnp.round(jnp.maximum(acc * m1_ref[:] + b1_ref[:], 0.0)),
-                  0, 127).astype(jnp.bfloat16)
+    x2d = x_ref[:].reshape(B * H * W, Cin)
+    acc = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.int32)
+    h1 = _rq8(acc, m1_ref[:], b1_ref[:])
 
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
     h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
@@ -483,18 +483,15 @@ def _bottleneck_down_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
     cols = jnp.concatenate(
         [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
          for dy in range(3) for dx in range(3)], axis=1)
-    acc2 = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm).astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    h2 = jnp.clip(jnp.round(jnp.maximum(acc2 * m2_ref[:] + b2_ref[:], 0.0)),
-                  0, 127).astype(jnp.bfloat16)
+    acc2 = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                   preferred_element_type=jnp.int32)
+    h2 = _rq8(acc2, m2_ref[:], b2_ref[:])
 
-    acc3 = jnp.dot(h2, w3_ref[:].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    y = acc3 * m3_ref[:] + b3_ref[:]
+    acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
+    y = acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:]
 
-    accd = jnp.dot(x2d, wd_ref[:].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    iden = accd * md_ref[:] + bd_ref[:]
+    accd = jnp.dot(x2d, wd_ref[:], preferred_element_type=jnp.int32)
+    iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
     out_ref[:] = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
                           ).astype(jnp.int8).reshape(B, H, W, Cout)
 
@@ -510,11 +507,9 @@ def _bottleneck_down_s2_int8_kernel(xp_ref, w1_ref, m1_ref, b1_ref, w2_ref,
     Cout = out_ref.shape[-1]
     Cm = w1_ref.shape[1]
 
-    x2d = xp_ref[:].reshape(4 * B * Ho * Wo, Cin).astype(jnp.bfloat16)
-    acc = jnp.dot(x2d, w1_ref[:].astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    h1 = jnp.clip(jnp.round(jnp.maximum(acc * m1_ref[:] + b1_ref[:], 0.0)),
-                  0, 127).astype(jnp.bfloat16)
+    x2d = xp_ref[:].reshape(4 * B * Ho * Wo, Cin)
+    acc = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.int32)
+    h1 = _rq8(acc, m1_ref[:], b1_ref[:])
 
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
     h1p_ref[:, :, :, 1:, 1:, :] = h1.reshape(2, 2, B, Ho, Wo, Cm)
@@ -527,19 +522,16 @@ def _bottleneck_down_s2_int8_kernel(xp_ref, w1_ref, m1_ref, b1_ref, w2_ref,
             cols.append(h1p_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
                         .reshape(B * Ho * Wo, Cm))
     acc2 = jnp.dot(jnp.concatenate(cols, axis=1),
-                   w2_ref[:].reshape(9 * Cm, Cm).astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    h2 = jnp.clip(jnp.round(jnp.maximum(acc2 * m2_ref[:] + b2_ref[:], 0.0)),
-                  0, 127).astype(jnp.bfloat16)
+                   w2_ref[:].reshape(9 * Cm, Cm),
+                   preferred_element_type=jnp.int32)
+    h2 = _rq8(acc2, m2_ref[:], b2_ref[:])
 
-    acc3 = jnp.dot(h2, w3_ref[:].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    y = acc3 * m3_ref[:] + b3_ref[:]
+    acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
+    y = acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:]
 
-    xs = xp_ref[0, 0].reshape(B * Ho * Wo, Cin).astype(jnp.bfloat16)
-    accd = jnp.dot(xs, wd_ref[:].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    iden = accd * md_ref[:] + bd_ref[:]
+    xs = xp_ref[0, 0].reshape(B * Ho * Wo, Cin)
+    accd = jnp.dot(xs, wd_ref[:], preferred_element_type=jnp.int32)
+    iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
     out_ref[:] = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
                           ).astype(jnp.int8).reshape(B, Ho, Wo, Cout)
 
@@ -589,7 +581,7 @@ def fused_bottleneck_down_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
                                    memory_space=pltpu.VMEM)] + wspecs,
             out_specs=out_spec, out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((B, H + 2, W + 2, Cm), jnp.bfloat16)],
+                pltpu.VMEM((B, H + 2, W + 2, Cm), jnp.int8)],
             compiler_params=cp, interpret=interpret,
         )(x, *args)
 
@@ -602,7 +594,7 @@ def fused_bottleneck_down_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
                                memory_space=pltpu.VMEM)] + wspecs,
         out_specs=out_spec, out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cm), jnp.bfloat16)],
+            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cm), jnp.int8)],
         compiler_params=cp, interpret=interpret,
     )(xp, *args)
 
@@ -748,13 +740,11 @@ def _stem_v2_int8_kernel(xp_ref, w_ref, m_ref, b_ref, out_ref, hp_ref):
             for k0y in range(3):
                 for k0x in range(3):
                     X = xp_ref[:, k0y:k0y + Ho, k0x:k0x + Wo, :].reshape(
-                        B * Ho * Wo, CL).astype(jnp.bfloat16)
-                    p = jnp.dot(X, w_ref[a, b, k0y, k0x].astype(
-                        jnp.bfloat16), preferred_element_type=jnp.float32)
+                        B * Ho * Wo, CL)
+                    p = jnp.dot(X, w_ref[a, b, k0y, k0x],
+                                preferred_element_type=jnp.int32)
                     acc = p if acc is None else acc + p
-            h = jnp.clip(jnp.round(jnp.maximum(
-                acc * m_ref[:] + b_ref[:], 0.0)), 0, 127
-                ).astype(jnp.bfloat16)
+            h = _rq8(acc, m_ref[:], b_ref[:])
             hp_ref[a, b, :, 1:, 1:, :] = h.reshape(B, Ho, Wo, Cout)
 
     pooled = None
@@ -764,7 +754,7 @@ def _stem_v2_int8_kernel(xp_ref, w_ref, m_ref, b_ref, out_ref, hp_ref):
             b, sx = _S2_PLANE[dx]
             win = hp_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
             pooled = win if pooled is None else jnp.maximum(pooled, win)
-    out_ref[:] = pooled.astype(jnp.int8)
+    out_ref[:] = pooled
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
@@ -805,7 +795,7 @@ def fused_stem_int8(x8, w8, m, b, interpret=False, batch_tile=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Ho, Wo, Cout), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cout), jnp.bfloat16)],
+            pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cout), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -38,7 +38,8 @@ def build_megastep(args):
     params, stats, cfg = resnet.init(jax.random.PRNGKey(0),
                                      arch='resnet50', in_channels=5,
                                      num_classes=2, weight_init='xavier')
-    folded = tree_cast(fold_resnet(params, stats, cfg), jnp.bfloat16)
+    folded_f32 = fold_resnet(params, stats, cfg)
+    folded = tree_cast(folded_f32, jnp.bfloat16)
     rng = np.random.RandomState(0)
     H, W, N = 480, 640, 10
     n_pairs = N * (N - 1) // 2
@@ -56,14 +57,40 @@ def build_megastep(args):
     pallas = (tuple(args.pallas_features.split(','))
               if args.pallas_features else True)
 
-    @jax.jit
-    def megastep(folded, images, masks, bboxes):
+    def prep_all(images, masks, bboxes):
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx)
             return build_pair_batch_matmul(im, m, pair_idx, rois,
                                            out_size=256,
                                            dtype=jnp.bfloat16)
-        x = jax.vmap(prep)(images, masks, bboxes).reshape(-1, 256, 256, 5)
+        return jax.vmap(prep)(images, masks, bboxes).reshape(
+            -1, 256, 256, 5)
+
+    if args.dtype == 'int8':
+        from instaorder_tpu.models import quantize as Q
+        import numpy as _np
+        calib = _np.asarray(jax.jit(prep_all)(
+            images, jnp.asarray(masks), jnp.asarray(bboxes)),
+            _np.float32)
+        scales = Q.calibrate_folded_resnet(folded_f32, cfg, [calib])
+        qp = Q.quantize_folded_resnet(folded_f32, cfg, scales)
+
+        @jax.jit
+        def megastep(qp, images, masks, bboxes):
+            x = prep_all(images, masks, bboxes)
+            o1, o2 = Q.apply_folded_int8_siamese(qp, cfg, x,
+                                                 use_pallas=pallas,
+                                                 stem_chunks=4)
+            s1, s2 = jax.nn.sigmoid(o1), jax.nn.sigmoid(o2)
+            return ((s1[:, 1] + s2[:, 0]) / 2 > .5,
+                    (s1[:, 0] + s2[:, 1]) / 2 > .5)
+
+        return megastep, (qp, images, jnp.asarray(masks),
+                          jnp.asarray(bboxes))
+
+    @jax.jit
+    def megastep(folded, images, masks, bboxes):
+        x = prep_all(images, masks, bboxes)
         o1, o2 = apply_folded_siamese(folded, cfg, x, dtype=jnp.bfloat16,
                                       use_pallas=pallas)
         s1, s2 = jax.nn.sigmoid(o1), jax.nn.sigmoid(o2)
@@ -109,6 +136,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--pairs', type=int, default=540)
     ap.add_argument('--pallas-features', default=None)
+    ap.add_argument('--dtype', default='bf16',
+                    choices=['bf16', 'int8'])
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--out', default='/tmp/instaorder_trace')
     args = ap.parse_args()
