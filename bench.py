@@ -42,6 +42,9 @@ def main():
     ap.add_argument('--pallas-features', default=None,
                     help='comma list from {identity,down,stem} '
                          '(default: the measured-best mix)')
+    ap.add_argument('--directions', type=int, default=2, choices=[1, 2],
+                    help='2 = reference-parity swap ensemble; 1 = '
+                         'single forward per pair (serving speed knob)')
     ap.add_argument('--iden-cin-cap', type=int, default=None,
                     help='max conv1 Cin routed to fused kernels '
                          '(512 = layers 1/2; 2048 = whole trunk)')
@@ -60,7 +63,8 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
     import jax.numpy as jnp
     from instaorder_tpu.models import resnet
-    from instaorder_tpu.models.folding import fold_resnet, apply_folded_siamese
+    from instaorder_tpu.models.folding import (fold_resnet, apply_folded,
+                                               apply_folded_siamese)
     from instaorder_tpu.core.nn import tree_cast
     from instaorder_tpu.ops.pairs import (build_pair_batch_matmul, pair_rois,
                                           all_pair_indices)
@@ -145,6 +149,12 @@ def main():
             (channel swap folded into a second conv1 weight) ->
             decisions."""
             x = prep_all(images, masks, bboxes)
+            if args.directions == 1:
+                o1 = apply_folded(folded_params, cfg, x, dtype=dtype,
+                                  use_pallas=pallas,
+                                  stem_chunks=args.stem_chunks)
+                s1 = jax.nn.sigmoid(o1)
+                return s1[:, 1] > 0.5, s1[:, 0] > 0.5
             o1, o2 = apply_folded_siamese(folded_params, cfg, x,
                                           dtype=dtype, use_pallas=pallas,
                                           stem_chunks=args.stem_chunks)

@@ -31,33 +31,43 @@ import jax
 import jax.numpy as jnp
 
 
-def occ_pair_probs(out1, out2):
-    """(P, 2) sigmoid-averaged (prob_i_over_j, prob_j_over_i)."""
+def occ_pair_probs(out1, out2=None):
+    """(P, 2) sigmoid-averaged (prob_i_over_j, prob_j_over_i).
+    out2=None: single-direction serving mode — skip the swap-ensemble
+    average (the reference always averages both directions; this is the
+    OrderPredictor(directions=1) speed knob)."""
     s1 = jax.nn.sigmoid(out1)
+    if out2 is None:
+        return s1[:, 1], s1[:, 0]
     s2 = jax.nn.sigmoid(out2)
     p_ij = (s1[:, 1] + s2[:, 0]) / 2.0
     p_ji = (s1[:, 0] + s2[:, 1]) / 2.0
     return p_ij, p_ji
 
 
-def decode_occ(out1, out2, th=0.5):
+def decode_occ(out1, out2=None, th=0.5):
     """-> (P,) bool i_over_j, (P,) bool j_over_i."""
     p_ij, p_ji = occ_pair_probs(out1, out2)
     return p_ij > th, p_ji > th
 
 
-def decode_ordernet(out1, out2):
+def decode_ordernet(out1, out2=None):
     """OrderNet softmax-average argmax -> (i_over_j, j_over_i) bools.
     Handles 3- and 4-class heads (ext adds bidirectional)."""
     s1 = jax.nn.softmax(out1, axis=-1)
-    s2 = jax.nn.softmax(out2, axis=-1)
-    p12 = (s1[:, 1] + s2[:, 0]) / 2.0
-    p21 = (s1[:, 0] + s2[:, 1]) / 2.0
-    pno = (s1[:, 2] + s2[:, 2]) / 2.0
-    if out1.shape[-1] == 4:
-        pbo = (s1[:, 3] + s2[:, 3]) / 2.0
+    if out2 is None:
+        p12, p21, pno = s1[:, 1], s1[:, 0], s1[:, 2]
+        pbo = (s1[:, 3] if out1.shape[-1] == 4
+               else jnp.zeros_like(p12))
     else:
-        pbo = jnp.zeros_like(p12)
+        s2 = jax.nn.softmax(out2, axis=-1)
+        p12 = (s1[:, 1] + s2[:, 0]) / 2.0
+        p21 = (s1[:, 0] + s2[:, 1]) / 2.0
+        pno = (s1[:, 2] + s2[:, 2]) / 2.0
+        if out1.shape[-1] == 4:
+            pbo = (s1[:, 3] + s2[:, 3]) / 2.0
+        else:
+            pbo = jnp.zeros_like(p12)
     stacked = jnp.stack([p12, p21, pno, pbo], axis=1)
     arg = jnp.argmax(stacked, axis=1)
     i_over_j = (arg == 0) | (arg == 3)
@@ -65,13 +75,16 @@ def decode_ordernet(out1, out2):
     return i_over_j, j_over_i
 
 
-def decode_depth(out1, out2):
+def decode_depth(out1, out2=None):
     """3-way depth argmax -> (P,) in {0: i closer, 1: i farther, 2: eq}."""
     s1 = jax.nn.softmax(out1, axis=-1)
-    s2 = jax.nn.softmax(out2, axis=-1)
-    closer = (s1[:, 0] + s2[:, 1]) / 2.0
-    farther = (s1[:, 1] + s2[:, 0]) / 2.0
-    equal = (s1[:, 2] + s2[:, 2]) / 2.0
+    if out2 is None:
+        closer, farther, equal = s1[:, 0], s1[:, 1], s1[:, 2]
+    else:
+        s2 = jax.nn.softmax(out2, axis=-1)
+        closer = (s1[:, 0] + s2[:, 1]) / 2.0
+        farther = (s1[:, 1] + s2[:, 0]) / 2.0
+        equal = (s1[:, 2] + s2[:, 2]) / 2.0
     return jnp.argmax(jnp.stack([closer, farther, equal], axis=1), axis=1)
 
 

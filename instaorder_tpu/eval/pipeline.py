@@ -51,10 +51,16 @@ class OrderPredictor:
 
     def __init__(self, apply_fn, cfg, params, stats, method,
                  patch_or_image='patch', input_size=256, use_rgb=True,
-                 mesh=None):
+                 mesh=None, directions=2):
         """mesh: optional jax.sharding.Mesh — shards the 2P pair batch
         over the `data` axis so one image's pairs spread across chips
-        (the "pair sharding" scale axis, SURVEY.md §5)."""
+        (the "pair sharding" scale axis, SURVEY.md §5).
+
+        directions: 2 (reference parity — forward both mask orders and
+        average the sigmoids/softmaxes, inference.py:196-214) or 1
+        (serving speed knob: single forward per pair, ~2x throughput;
+        decisions can differ from the reference on threshold-adjacent
+        pairs)."""
         self.apply_fn = apply_fn
         self.cfg = cfg
         self.params = params
@@ -64,6 +70,8 @@ class OrderPredictor:
         self.input_size = input_size
         self.use_rgb = use_rgb
         self.mesh = mesh
+        assert directions in (1, 2)
+        self.directions = directions
 
         if mesh is None:
             @functools.partial(jax.jit, static_argnames=())
@@ -140,10 +148,15 @@ class OrderPredictor:
                                jnp.asarray(masks), jnp.asarray(
                                    np.asarray(bboxes, np.float32)),
                                jnp.asarray(pair_idx))
-        x = jnp.concatenate([x1, _swap_input(x1)], axis=0)
+        if self.directions == 1:
+            x = x1
+        else:
+            x = jnp.concatenate([x1, _swap_input(x1)], axis=0)
         if not self.use_rgb:
             x = x[..., :2]
         out = self._forward(self.params, self.stats, x)
+        if self.directions == 1:
+            return pair_idx, jnp.asarray(valid), out, None, n
         P = pair_idx.shape[0]
         if isinstance(out, tuple):
             out1 = tuple(o[:P] for o in out)
@@ -162,7 +175,7 @@ class OrderPredictor:
             i_over_j, j_over_i = D.decode_occ(out1, out2)
         elif self.method in ('InstaOrderNet_od', 'InstaDepthNet_od'):
             occ1 = out1[0] if isinstance(out1, tuple) else out1
-            occ2 = out2[0] if isinstance(out2, tuple) else out2
+            occ2 = (out2[0] if isinstance(out2, tuple) else out2)
             i_over_j, j_over_i = D.decode_occ(occ1, occ2)
         else:
             raise ValueError(self.method)
@@ -184,7 +197,7 @@ class OrderPredictor:
         pair_idx, valid, out1, out2, n = self._pair_outputs(
             image, masks, bboxes, pairs)
         occ1, dep1 = out1
-        occ2, dep2 = out2
+        occ2, dep2 = out2 if out2 is not None else (None, None)
         i_over_j, j_over_i = D.decode_occ(occ1, occ2)
         arg = D.decode_depth(dep1, dep2)
         occ = np.asarray(D.occ_matrix(n, jnp.asarray(pair_idx), i_over_j,

@@ -180,3 +180,37 @@ def test_int8_predictor_agrees_with_f32():
     m1 = f32.infer_occ_order(image, masks, bboxes)
     m2 = q.infer_occ_order(image, masks, bboxes)
     assert (m1 == m2).mean() >= 0.9, (m1, m2)
+
+
+def test_single_direction_mode():
+    """OrderPredictor(directions=1): one forward per pair (serving speed
+    knob). On the layered synthetic scene (clear margins) the decisions
+    should overwhelmingly agree with the reference-parity 2-direction
+    ensemble."""
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(21), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(6, n=6)
+    two = OrderPredictor(resnet.apply, cfg, params, stats,
+                         'InstaOrderNet_o', 'patch', input_size=64)
+    one = OrderPredictor(resnet.apply, cfg, params, stats,
+                         'InstaOrderNet_o', 'patch', input_size=64,
+                         directions=1)
+    m2 = two.infer_occ_order(image, masks, bboxes)
+    m1 = one.infer_occ_order(image, masks, bboxes)
+    assert m1.shape == m2.shape == (6, 6)
+    assert (m1 == m2).mean() >= 0.8, (m1, m2)
+
+
+def test_single_direction_decode_rules():
+    """out2=None decode == using pass-1 probabilities alone."""
+    from instaorder_tpu.eval import decode as D
+    rng = np.random.RandomState(3)
+    o1 = jnp.asarray(rng.randn(8, 2).astype(np.float32) * 3)
+    i1, j1 = D.decode_occ(o1, None)
+    s1 = np.asarray(jax.nn.sigmoid(o1))
+    np.testing.assert_array_equal(np.asarray(i1), s1[:, 1] > 0.5)
+    np.testing.assert_array_equal(np.asarray(j1), s1[:, 0] > 0.5)
+    d1 = jnp.asarray(rng.randn(8, 3).astype(np.float32) * 3)
+    arg = np.asarray(D.decode_depth(d1, None))
+    np.testing.assert_array_equal(arg, np.argmax(np.asarray(d1), axis=1))
