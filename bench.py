@@ -19,6 +19,7 @@ round trips processes O(10) pairs/sec.)
 
 import argparse
 import json
+import sys
 import os
 import time
 
@@ -130,9 +131,18 @@ def main():
         scales = Q.calibrate_folded_resnet(folded, cfg, [calib_x])
         qparams = Q.quantize_folded_resnet(folded, cfg, scales)
 
+        if args.bt_budget_mb:
+            print('note: --bt-budget-mb only affects the bf16 kernels; '
+                  'ignored for --dtype int8', file=sys.stderr)
+
         @jax.jit
         def megastep(qp, images, masks, bboxes):
             x = prep_all(images, masks, bboxes)
+            if args.directions == 1:
+                o1 = Q.apply_folded_int8(qp, cfg, x, use_pallas=pallas,
+                                         stem_chunks=args.stem_chunks)
+                s1 = jax.nn.sigmoid(o1)
+                return s1[:, 1] > 0.5, s1[:, 0] > 0.5
             o1, o2 = Q.apply_folded_int8_siamese(
                 qp, cfg, x, use_pallas=pallas,
                 stem_chunks=args.stem_chunks)

@@ -48,17 +48,39 @@ def _bn(sd, name):
     return params, stats
 
 
-def resnet_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
+def resnet_from_torch_state_dict(sd: Dict, cfg,
+                                 lenient: bool = False) -> Tuple[Dict,
+                                                                 Dict]:
     """torch resnet_cls-style state_dict -> (params, stats) for
     models/resnet.apply. `cfg` is the static cfg from resnet.init.
     Accepts either 3- or 5-channel conv1 (shape taken from the ckpt).
     Handles single fc, dual fc_occ/fc_depth heads, and headless dicts.
-    """
+
+    lenient: skip (rather than raise on) components whose source keys
+    are missing — partial state_dicts (pruned/backbone-only, or BN
+    without running stats) then convert to a partial tree that
+    _lenient_merge fills with the scratch init, matching the reference's
+    load_state_dict(strict=False) subset-load semantics
+    (resnet_cls.py:227-232)."""
     sd = strip_prefix(sd)
     p: Dict = {}
     s: Dict = {}
-    p['conv1'] = {'w': conv_w(sd['conv1.weight'])}
-    p['bn1'], s['bn1'] = _bn(sd, 'bn1')
+
+    def put(fn):
+        try:
+            fn()
+        except KeyError:
+            if not lenient:
+                raise
+
+    put(lambda: p.__setitem__('conv1', {'w': conv_w(sd['conv1.weight'])}))
+
+    def put_bn(pd, sdict, pk, name):
+        def go():
+            pd[pk], sdict[pk] = _bn(sd, name)
+        put(go)
+
+    put_bn(p, s, 'bn1', 'bn1')
     block = cfg['block']
     for li, blocks in enumerate(cfg['layers']):
         stage_p, stage_s = [], []
@@ -68,19 +90,24 @@ def resnet_from_torch_state_dict(sd: Dict, cfg) -> Tuple[Dict, Dict]:
             bs: Dict = {}
             n_convs = 3 if block == 'bottleneck' else 2
             for ci in range(1, n_convs + 1):
-                bp[f'conv{ci}'] = {'w': conv_w(sd[f'{pre}.conv{ci}.weight'])}
-                bp[f'bn{ci}'], bs[f'bn{ci}'] = _bn(sd, f'{pre}.bn{ci}')
+                put(lambda ci=ci: bp.__setitem__(
+                    f'conv{ci}',
+                    {'w': conv_w(sd[f'{pre}.conv{ci}.weight'])}))
+                put_bn(bp, bs, f'bn{ci}', f'{pre}.bn{ci}')
             if f'{pre}.downsample.0.weight' in sd:
-                bp['down_conv'] = {'w': conv_w(sd[f'{pre}.downsample.0.weight'])}
-                bp['down_bn'], bs['down_bn'] = _bn(sd, f'{pre}.downsample.1')
+                put(lambda: bp.__setitem__(
+                    'down_conv',
+                    {'w': conv_w(sd[f'{pre}.downsample.0.weight'])}))
+                put_bn(bp, bs, 'down_bn', f'{pre}.downsample.1')
             stage_p.append(bp)
             stage_s.append(bs)
         p[f'layer{li + 1}'] = stage_p
         s[f'layer{li + 1}'] = stage_s
     for fc in ('fc', 'fc_occ', 'fc_depth'):
         if f'{fc}.weight' in sd:
-            p[fc] = {'w': linear_w(sd[f'{fc}.weight']),
-                     'b': jnp.asarray(_np(sd[f'{fc}.bias']))}
+            put(lambda fc=fc: p.__setitem__(
+                fc, {'w': linear_w(sd[f'{fc}.weight']),
+                     'b': jnp.asarray(_np(sd[f'{fc}.bias']))}))
     return p, s
 
 
@@ -104,7 +131,7 @@ def load_pretrain(path, params, stats, cfg, family='resnet', warn=print):
     sd = (blob['state_dict'] if isinstance(blob, dict) and
           'state_dict' in blob else blob)
     if family == 'resnet':
-        p_t, s_t = resnet_from_torch_state_dict(sd, cfg)
+        p_t, s_t = resnet_from_torch_state_dict(sd, cfg, lenient=True)
     elif family == 'midas_base':
         from .torch_convert_midas import midas_base_from_torch_state_dict
         p_t, s_t = midas_base_from_torch_state_dict(sd, cfg)

@@ -53,11 +53,20 @@ class Tester:
         self.save_pngs = getattr(args, 'save_pngs', 0)
         self.out_dir = getattr(args, 'out_dir', 'out_pngs')
         self.logger = logger or _print_logger()
-        # wandb/tensorboard val-metric hooks (tools/test.py:97-103, 270-286)
+        self.curr_step = 0  # set from the loaded checkpoint
+        # wandb/tensorboard val-metric hooks (tools/test.py:97-103,
+        # 270-286). Events go next to the evaluated checkpoint (the
+        # reference writes under the experiment save folder) unless an
+        # explicit out_dir was given.
+        events_dir = getattr(args, 'out_dir', None)
+        if events_dir is None:
+            load = getattr(args, 'load_model', None)
+            events_dir = (os.path.dirname(os.path.dirname(load))
+                          if load else self.out_dir)
         from ..utils.telemetry import make_summary_logger
         self.summary = make_summary_logger(
             args.trainer if hasattr(args, 'trainer') else {},
-            self.out_dir, run_name='Test')
+            events_dir, run_name='Test')
 
         data_cfg = args.data
         dataset = data_cfg['dataset']
@@ -96,8 +105,8 @@ class Tester:
                                                          {}))
         load = getattr(args, 'load_model', None)
         if load:
-            _, params, stats, _ = ckpt.load_state(load, params, stats,
-                                                  warn=self.logger.info)
+            self.curr_step, params, stats, _ = ckpt.load_state(
+                load, params, stats, warn=self.logger.info)
         if self.order_method == 'PartialCompletionMask':
             from .amodal import AmodalCompleter
             self.completer = AmodalCompleter(
@@ -203,11 +212,13 @@ class Tester:
         self.logger.info(
             f"[AVERAGE] recall={out['recall']:.3f} / "
             f"precision={out['precision']:.3f} / f1={out['f1']:.3f}")
-        # tools/test.py:276-286 logs the summary metrics
+        # tools/test.py:276-286 logs the summary metrics at the
+        # evaluated checkpoint's step
         self.summary.scalars({'val/recall': out['recall'],
                               'val/precision': out['precision'],
                               'val/f1': out['f1'],
-                              'val/num_test_images': out['n']}, 0)
+                              'val/num_test_images': out['n']},
+                             self.curr_step)
         return out
 
     def eval_depth_order(self):
@@ -264,7 +275,7 @@ class Tester:
             f"precision={out['precision']:.3f} / f1={out['f1']:.3f}")
         self.summary.scalars({'val/recall': out['recall'],
                               'val/precision': out['precision'],
-                              'val/f1': out['f1']}, 0)
+                              'val/f1': out['f1']}, self.curr_step)
         return out
 
     def _dump_pngs(self, image_fn, image, modal, pred_occ=None, gt_occ=None,
@@ -312,7 +323,9 @@ class Tester:
             out[f'WHDR_{key}'] = float(mean)
             self.logger.info(f'{key}: {mean}')
             # tools/test.py:270: val_<ovl>/WHDR_<eq> per-key means
-            self.summary.scalar(f'val/WHDR_{key}', mean, 0)
+            ko, ke = key.split('_', 1)
+            self.summary.scalar(f'val_{ko}/WHDR_{ke}', mean,
+                                self.curr_step)
         return out
 
 

@@ -52,19 +52,26 @@ def fold_resnet(params, stats, cfg):
 
 
 # pallas feature sets for `use_pallas`: True/'default' = the measured-best
-# mix; a tuple/set of {'identity', 'down', 'stem'} picks kernels explicitly.
+# mix; a tuple/set from _PALLAS_VOCAB picks kernels explicitly.
 # bf16 A/B (bench, 1080 pairs/step): identity-only 3661 > identity+down
 # 3342 > +stem 2999 pairs/s — the XLA-side space-to-depth copies feeding
 # the stride-2 kernels cost more than their VMEM residency saves.
+_PALLAS_VOCAB = frozenset(('identity', 'stage', 'down', 'down1', 'stem',
+                           'hwnc'))
 _PALLAS_DEFAULT = frozenset(('identity',))
 
 
-def _pallas_features(use_pallas):
+def _pallas_features(use_pallas, default=_PALLAS_DEFAULT):
     if not use_pallas:
         return frozenset()
     if use_pallas is True or use_pallas == 'default':
-        return _PALLAS_DEFAULT
-    return frozenset(use_pallas)
+        return default
+    feats = frozenset(use_pallas)
+    unknown = feats - _PALLAS_VOCAB
+    if unknown:
+        raise ValueError(f'unknown pallas feature(s) {sorted(unknown)}; '
+                         f'valid: {sorted(_PALLAS_VOCAB)}')
+    return feats
 
 
 def _xla_stem(conv1, x, chunks=1):
@@ -76,7 +83,9 @@ def _xla_stem(conv1, x, chunks=1):
         h = jax.nn.relu(cnn.conv2d(conv1, xc, stride=2, padding=3))
         return cnn.max_pool(h, 3, 2, 1)
     n = x.shape[0]
-    if chunks <= 1 or n % chunks:
+    while chunks > 1 and n % chunks:
+        chunks -= 1  # largest divisor <= requested keeps the bound
+    if chunks <= 1:
         return stem(x)
     xs = x.reshape(chunks, n // chunks, *x.shape[1:])
     return jax.lax.map(stem, xs).reshape(n, x.shape[1] // 4,
@@ -146,6 +155,13 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
     # copy (see ops/pallas_blocks.fused_bottleneck_hwnc). `is_t` tracks
     # whether `out` currently holds the transposed view.
     is_t = False
+    from ..ops import pallas_blocks as _pb
+
+    def _iden_ok(p):
+        return (block == 'bottleneck' and groups == 1 and
+                'down' not in p and
+                p['conv1']['w'].shape[2] <= _pb.IDEN_CIN_CAP)
+
     for li in range(4):
         blocks = params[f'layer{li + 1}']
         bi = 0
@@ -156,11 +172,6 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
             # stages: measured best (3901 pairs/s vs 3853 XLA vs 3782 for
             # the whole-stage variant whose resident weight stacks at
             # layer3/4 hurt pipelining)
-            from ..ops import pallas_blocks as _pb
-            def _iden_ok(p):
-                return (block == 'bottleneck' and groups == 1 and
-                        'down' not in p and
-                        p['conv1']['w'].shape[2] <= _pb.IDEN_CIN_CAP)
             if 'hwnc' in feats and stride == 1 and _iden_ok(bp):
                 if not is_t:
                     out = jnp.transpose(out, (1, 2, 0, 3))
@@ -183,16 +194,14 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                 while bi + len(run) < len(blocks) and _iden_ok(
                         blocks[bi + len(run)]):
                     run.append(blocks[bi + len(run)])
-                from ..ops.pallas_blocks import (fused_bottleneck,
-                                                 fused_bottleneck_stage)
                 if len(run) == 1:
-                    out = fused_bottleneck(
+                    out = _pb.fused_bottleneck(
                         out,
                         bp['conv1']['w'][0, 0], bp['conv1']['b'],
                         bp['conv2']['w'], bp['conv2']['b'],
                         bp['conv3']['w'][0, 0], bp['conv3']['b'])
                 else:
-                    out = fused_bottleneck_stage(
+                    out = _pb.fused_bottleneck_stage(
                         out,
                         jnp.stack([p['conv1']['w'][0, 0] for p in run]),
                         jnp.stack([p['conv1']['b'] for p in run]),
@@ -205,8 +214,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
             fusable = ('identity' in feats and stride == 1 and
                        _iden_ok(bp))
             if fusable:
-                from ..ops.pallas_blocks import fused_bottleneck
-                out = fused_bottleneck(
+                out = _pb.fused_bottleneck(
                     out,
                     bp['conv1']['w'][0, 0], bp['conv1']['b'],
                     bp['conv2']['w'], bp['conv2']['b'],
@@ -220,8 +228,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                             and bp['conv1']['w'].shape[2] <=
                             _pb.IDEN_CIN_CAP)
             if fusable_down:
-                from ..ops.pallas_blocks import fused_bottleneck_down
-                out = fused_bottleneck_down(
+                out = _pb.fused_bottleneck_down(
                     out,
                     bp['conv1']['w'][0, 0], bp['conv1']['b'],
                     bp['conv2']['w'], bp['conv2']['b'],

@@ -185,11 +185,8 @@ _PALLAS_DEFAULT_INT8 = frozenset(('identity', 'down'))
 
 
 def _pallas_features(use_pallas):
-    if not use_pallas:
-        return frozenset()
-    if use_pallas is True or use_pallas == 'default':
-        return _PALLAS_DEFAULT_INT8
-    return frozenset(use_pallas)
+    from .folding import _pallas_features as shared
+    return shared(use_pallas, default=_PALLAS_DEFAULT_INT8)
 
 
 def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
@@ -259,7 +256,9 @@ def _stem_int8(q, x8, use_pallas=False, chunks=1):
             h, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             [(0, 0), (1, 1), (1, 1), (0, 0)])
     n = x8.shape[0]
-    if chunks <= 1 or n % chunks:
+    while chunks > 1 and n % chunks:
+        chunks -= 1
+    if chunks <= 1:
         return stem(x8)
     # sequential chunks bound the (N, H/2, W/2, 64) s32 accumulator /
     # requant transients at serving batch sizes

@@ -137,3 +137,42 @@ def test_midas_pretrained_weight_ingest(tmp_path):
     # order branches untouched by the base checkpoint (midas_net.py:30-45)
     np.testing.assert_array_equal(np.asarray(p2['do']['fc']['w']), fresh_do)
     assert any('.do' in w for w in warnings)  # strict=False warnings fired
+
+
+def test_load_pretrain_partial_state_dict(tmp_path):
+    """A pruned/backbone-only torch state_dict (missing BN running
+    stats, heads, and a whole stage) must subset-load with scratch
+    values kept — the reference's load_state_dict(strict=False)
+    semantics (resnet_cls.py:227-232) — not crash with KeyError."""
+    import torch
+    from instaorder_tpu.models import resnet
+    from instaorder_tpu.compat.torch_convert import load_pretrain
+
+    tm = TorchResNetCls(layers=(1, 1, 1, 1), in_channels=5,
+                        num_classes=2)
+    sd = tm.state_dict()
+    # prune: drop all running stats, the fc head, and layer4 entirely
+    sd = {k: v for k, v in sd.items()
+          if 'running_' not in k and 'num_batches' not in k
+          and not k.startswith('fc') and not k.startswith('layer4')}
+    pt = tmp_path / 'partial.pth'
+    torch.save(sd, str(pt))
+
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(0), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    import numpy as np
+    fc_before = np.asarray(params['fc']['w'])
+    l4_before = np.asarray(params['layer4'][0]['conv1']['w'])
+    warns = []
+    p2, s2 = load_pretrain(str(pt), params, stats, cfg,
+                           warn=warns.append)
+    # loaded where present
+    np.testing.assert_allclose(
+        np.asarray(p2['conv1']['w']),
+        np.asarray(sd['conv1.weight'].numpy().transpose(2, 3, 1, 0)))
+    # scratch kept where absent
+    np.testing.assert_array_equal(np.asarray(p2['fc']['w']), fc_before)
+    np.testing.assert_array_equal(
+        np.asarray(p2['layer4'][0]['conv1']['w']), l4_before)
+    assert warns, 'missing keys should be warned about'
