@@ -18,6 +18,7 @@ round trips processes O(10) pairs/sec.)
 """
 
 import argparse
+import functools
 import json
 import sys
 import os
@@ -35,7 +36,10 @@ def main():
                     help='measurement windows; best is reported')
     ap.add_argument('--warmup', type=int, default=3)
     ap.add_argument('--dtype', default='bf16',
-                    choices=['bf16', 'f32', 'int8'])
+                    choices=['bf16', 'f32', 'int8', 'int8c'],
+                    help='int8 = boundary-int8 storage with bf16 compute '
+                         '(quantize.py v2); int8c = round-2 fully-'
+                         'quantized int8 compute path')
     ap.add_argument('--instances', type=int, default=10,
                     help='instances per synthetic scene (45 pairs at 10)')
     ap.add_argument('--no-pallas', action='store_true',
@@ -107,13 +111,12 @@ def main():
         return x.reshape(-1, sz, sz, 5)
 
     if args.stem_chunks is None:
-        args.stem_chunks = 4 if args.dtype == 'int8' else 1
-    if args.bt_budget_mb or args.iden_cin_cap:
-        from instaorder_tpu.ops import pallas_blocks
-        if args.bt_budget_mb:
-            pallas_blocks.BT_BUDGET = args.bt_budget_mb * 1024 * 1024
-        if args.iden_cin_cap:
-            pallas_blocks.IDEN_CIN_CAP = args.iden_cin_cap
+        # int8c's s32 accumulators need chunking; the v2 path has the
+        # same (bf16) stem memory profile as the bf16 path
+        args.stem_chunks = 4 if args.dtype == 'int8c' else 1
+    bt_budget = args.bt_budget_mb * 1024 * 1024 if args.bt_budget_mb \
+        else None
+    iden_cin_cap = args.iden_cin_cap
     if args.no_pallas:
         pallas = False
     elif args.pallas_features:
@@ -121,31 +124,48 @@ def main():
     else:
         pallas = True
 
-    if args.dtype == 'int8':
+    if args.dtype in ('int8', 'int8c'):
         # PTQ: calibrate activation scales on one prepped batch (f32),
-        # quantize weights per-out-channel (models/quantize.py)
+        # quantize weights (models/quantize.py). 'int8' = v2 boundary
+        # storage (bf16 compute); 'int8c' = round-2 full int8 compute.
         from instaorder_tpu.models import quantize as Q
+        # calibration needs the f32 folded params, before the bf16 cast
+        folded_f32 = fold_resnet(params, stats, cfg)
         calib_x = np.asarray(jax.jit(prep_all)(
             jnp.asarray(images), jnp.asarray(masks),
             jnp.asarray(bboxes))).astype(np.float32)
-        scales = Q.calibrate_folded_resnet(folded, cfg, [calib_x])
-        qparams = Q.quantize_folded_resnet(folded, cfg, scales)
-
-        if args.bt_budget_mb:
-            print('note: --bt-budget-mb only affects the bf16 kernels; '
-                  'ignored for --dtype int8', file=sys.stderr)
+        scales = Q.calibrate_folded_resnet(folded_f32, cfg, [calib_x])
+        if args.dtype == 'int8':
+            qparams = Q.quantize_folded_v2(folded_f32, cfg, scales)
+            apply_one = functools.partial(
+                Q.apply_folded_v2, cfg=cfg, use_pallas=pallas,
+                stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
+                bt_budget=bt_budget)
+            apply_sia = functools.partial(
+                Q.apply_folded_v2_siamese, cfg=cfg, use_pallas=pallas,
+                stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
+                bt_budget=bt_budget)
+        else:
+            qparams = Q.quantize_folded_resnet(folded_f32, cfg, scales)
+            if args.bt_budget_mb:
+                print('note: --bt-budget-mb only affects the bf16/v2 '
+                      'kernels; ignored for --dtype int8c',
+                      file=sys.stderr)
+            apply_one = functools.partial(
+                Q.apply_folded_int8, cfg=cfg, use_pallas=pallas,
+                stem_chunks=args.stem_chunks)
+            apply_sia = functools.partial(
+                Q.apply_folded_int8_siamese, cfg=cfg, use_pallas=pallas,
+                stem_chunks=args.stem_chunks)
 
         @jax.jit
         def megastep(qp, images, masks, bboxes):
             x = prep_all(images, masks, bboxes)
             if args.directions == 1:
-                o1 = Q.apply_folded_int8(qp, cfg, x, use_pallas=pallas,
-                                         stem_chunks=args.stem_chunks)
+                o1 = apply_one(qp, x=x)
                 s1 = jax.nn.sigmoid(o1)
                 return s1[:, 1] > 0.5, s1[:, 0] > 0.5
-            o1, o2 = Q.apply_folded_int8_siamese(
-                qp, cfg, x, use_pallas=pallas,
-                stem_chunks=args.stem_chunks)
+            o1, o2 = apply_sia(qp, x=x)
             s1 = jax.nn.sigmoid(o1)
             s2 = jax.nn.sigmoid(o2)
             return ((s1[:, 1] + s2[:, 0]) / 2 > 0.5,
@@ -162,12 +182,16 @@ def main():
             if args.directions == 1:
                 o1 = apply_folded(folded_params, cfg, x, dtype=dtype,
                                   use_pallas=pallas,
-                                  stem_chunks=args.stem_chunks)
+                                  stem_chunks=args.stem_chunks,
+                                  iden_cin_cap=iden_cin_cap,
+                                  bt_budget=bt_budget)
                 s1 = jax.nn.sigmoid(o1)
                 return s1[:, 1] > 0.5, s1[:, 0] > 0.5
             o1, o2 = apply_folded_siamese(folded_params, cfg, x,
                                           dtype=dtype, use_pallas=pallas,
-                                          stem_chunks=args.stem_chunks)
+                                          stem_chunks=args.stem_chunks,
+                                          iden_cin_cap=iden_cin_cap,
+                                          bt_budget=bt_budget)
             s1 = jax.nn.sigmoid(o1)
             s2 = jax.nn.sigmoid(o2)
             i_over_j = (s1[:, 1] + s2[:, 0]) / 2 > 0.5

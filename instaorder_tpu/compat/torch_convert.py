@@ -40,14 +40,6 @@ def strip_prefix(sd: Dict, prefix: str = 'module.') -> Dict:
             for k, v in sd.items()}
 
 
-def _bn(sd, name):
-    params = {'scale': jnp.asarray(_np(sd[f'{name}.weight'])),
-              'bias': jnp.asarray(_np(sd[f'{name}.bias']))}
-    stats = {'mean': jnp.asarray(_np(sd[f'{name}.running_mean'])),
-             'var': jnp.asarray(_np(sd[f'{name}.running_var']))}
-    return params, stats
-
-
 def resnet_from_torch_state_dict(sd: Dict, cfg,
                                  lenient: bool = False) -> Tuple[Dict,
                                                                  Dict]:
@@ -76,9 +68,18 @@ def resnet_from_torch_state_dict(sd: Dict, cfg,
     put(lambda: p.__setitem__('conv1', {'w': conv_w(sd['conv1.weight'])}))
 
     def put_bn(pd, sdict, pk, name):
-        def go():
-            pd[pk], sdict[pk] = _bn(sd, name)
-        put(go)
+        # field-wise so a state_dict stripped of running stats (or of the
+        # affine params) still loads the keys it does have — torch
+        # load_state_dict(strict=False) loads tensor-by-tensor
+        def field(dst, key, src):
+            def go():
+                v = jnp.asarray(_np(sd[src]))  # may KeyError before the
+                dst.setdefault(pk, {})[key] = v  # subdict is created
+            put(go)
+        field(pd, 'scale', f'{name}.weight')
+        field(pd, 'bias', f'{name}.bias')
+        field(sdict, 'mean', f'{name}.running_mean')
+        field(sdict, 'var', f'{name}.running_var')
 
     put_bn(p, s, 'bn1', 'bn1')
     block = cfg['block']

@@ -150,8 +150,10 @@ def max_pool(x, window=3, stride=2, padding=1):
     """torch nn.MaxPool2d parity on NHWC input."""
     neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
            else jnp.iinfo(x.dtype).min)
+    # typed numpy scalar: python ints weak-type to int32 (dtype mismatch
+    # for int8 inputs) and jax arrays break reduce_window's autodiff
     return jax.lax.reduce_window(
-        x, neg, jax.lax.max,
+        x, np.dtype(x.dtype).type(neg), jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),

@@ -61,8 +61,11 @@ class Tester:
         events_dir = getattr(args, 'out_dir', None)
         if events_dir is None:
             load = getattr(args, 'load_model', None)
-            events_dir = (os.path.dirname(os.path.dirname(load))
-                          if load else self.out_dir)
+            # abspath so a bare/one-level filename ('ckpt.pth',
+            # 'dir/ckpt.pth') still lands events next to the checkpoint
+            # tree instead of silently under cwd
+            events_dir = (os.path.dirname(os.path.dirname(
+                os.path.abspath(load))) if load else self.out_dir)
         from ..utils.telemetry import make_summary_logger
         self.summary = make_summary_logger(
             args.trainer if hasattr(args, 'trainer') else {},

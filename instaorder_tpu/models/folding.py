@@ -56,8 +56,8 @@ def fold_resnet(params, stats, cfg):
 # bf16 A/B (bench, 1080 pairs/step): identity-only 3661 > identity+down
 # 3342 > +stem 2999 pairs/s — the XLA-side space-to-depth copies feeding
 # the stride-2 kernels cost more than their VMEM residency saves.
-_PALLAS_VOCAB = frozenset(('identity', 'stage', 'down', 'down1', 'stem',
-                           'hwnc'))
+_PALLAS_VOCAB = frozenset(('identity', 'stage', 'sstage', 'down', 'down1',
+                           'stem', 'hwnc'))
 _PALLAS_DEFAULT = frozenset(('identity',))
 
 
@@ -93,7 +93,8 @@ def _xla_stem(conv1, x, chunks=1):
 
 
 def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
-                         stem_chunks=1):
+                         stem_chunks=1, iden_cin_cap=None,
+                         bt_budget=None):
     """Both swap directions WITHOUT materialising a swapped input copy.
 
     Pass 2's input is pass 1's with mask channels 0,1 exchanged, so
@@ -108,6 +109,9 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
     space-to-depth transform the stride-2 kernels need).
     stem_chunks: sequential batch chunks for the XLA stem (bounds HBM
     liveness at large serving batches; ignored by the pallas stem).
+    iden_cin_cap / bt_budget: explicit overrides for the module-global
+    kernel-tuning defaults (ops/pallas_blocks.IDEN_CIN_CAP/BT_BUDGET),
+    which are only read at trace time.
 
     Returns (out1, out2)."""
     feats = _pallas_features(use_pallas)
@@ -132,7 +136,8 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
         h1 = _xla_stem(params['conv1'], x, chunks=stem_chunks)
         h2 = _xla_stem(swapped_conv1, x, chunks=stem_chunks)
         h = jnp.concatenate([h1, h2], axis=0)
-    out = _apply_trunk(params, cfg, h, use_pallas=use_pallas)
+    out = _apply_trunk(params, cfg, h, use_pallas=use_pallas,
+                       iden_cin_cap=iden_cin_cap, bt_budget=bt_budget)
     if isinstance(out, tuple):
         n = x.shape[0]
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)
@@ -140,7 +145,8 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
     return out[:n], out[n:]
 
 
-def _apply_trunk(params, cfg, out, use_pallas=False):
+def _apply_trunk(params, cfg, out, use_pallas=False, iden_cin_cap=None,
+                 bt_budget=None):
     """Post-stem trunk + head(s) of the folded ResNet (NHWC).
 
     use_pallas (bool or feature collection, see apply_folded_siamese):
@@ -156,11 +162,12 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
     # whether `out` currently holds the transposed view.
     is_t = False
     from ..ops import pallas_blocks as _pb
+    cap = _pb.IDEN_CIN_CAP if iden_cin_cap is None else iden_cin_cap
 
     def _iden_ok(p):
         return (block == 'bottleneck' and groups == 1 and
                 'down' not in p and
-                p['conv1']['w'].shape[2] <= _pb.IDEN_CIN_CAP)
+                p['conv1']['w'].shape[2] <= cap)
 
     for li in range(4):
         blocks = params[f'layer{li + 1}']
@@ -186,7 +193,8 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
             if is_t:
                 out = jnp.transpose(out, (2, 0, 1, 3))
                 is_t = False
-            if ('stage' in feats and stride == 1 and _iden_ok(bp)):
+            if (('stage' in feats or 'sstage' in feats) and
+                    stride == 1 and _iden_ok(bp)):
                 # whole-stage residency: run the consecutive identity
                 # blocks of this layer in ONE kernel (inter-block
                 # activations never touch HBM)
@@ -199,16 +207,21 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                         out,
                         bp['conv1']['w'][0, 0], bp['conv1']['b'],
                         bp['conv2']['w'], bp['conv2']['b'],
-                        bp['conv3']['w'][0, 0], bp['conv3']['b'])
+                        bp['conv3']['w'][0, 0], bp['conv3']['b'],
+                        bt_budget=bt_budget)
                 else:
-                    out = _pb.fused_bottleneck_stage(
+                    stage_fn = (_pb.fused_bottleneck_stage_stream
+                                if 'sstage' in feats
+                                else _pb.fused_bottleneck_stage)
+                    out = stage_fn(
                         out,
                         jnp.stack([p['conv1']['w'][0, 0] for p in run]),
                         jnp.stack([p['conv1']['b'] for p in run]),
                         jnp.stack([p['conv2']['w'] for p in run]),
                         jnp.stack([p['conv2']['b'] for p in run]),
                         jnp.stack([p['conv3']['w'][0, 0] for p in run]),
-                        jnp.stack([p['conv3']['b'] for p in run]))
+                        jnp.stack([p['conv3']['b'] for p in run]),
+                        bt_budget=bt_budget)
                 bi += len(run)
                 continue
             fusable = ('identity' in feats and stride == 1 and
@@ -218,7 +231,8 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
                     out,
                     bp['conv1']['w'][0, 0], bp['conv1']['b'],
                     bp['conv2']['w'], bp['conv2']['b'],
-                    bp['conv3']['w'][0, 0], bp['conv3']['b'])
+                    bp['conv3']['w'][0, 0], bp['conv3']['b'],
+                    bt_budget=bt_budget)
                 bi += 1
                 continue
             fusable_down = (('down' in feats or
@@ -261,7 +275,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False):
 
 
 def apply_folded(params, cfg, x, dtype=None, use_pallas=False,
-                 stem_chunks=1):
+                 stem_chunks=1, iden_cin_cap=None, bt_budget=None):
     """Lean inference forward for folded ResNet params (NHWC).
 
     dtype: compute dtype (e.g. jnp.bfloat16 for the serving fast path);
@@ -276,7 +290,8 @@ def apply_folded(params, cfg, x, dtype=None, use_pallas=False,
         out = fused_stem(x, params['conv1']['w'], params['conv1']['b'])
     else:
         out = _xla_stem(params['conv1'], x, chunks=stem_chunks)
-    return _apply_trunk(params, cfg, out, use_pallas=use_pallas)
+    return _apply_trunk(params, cfg, out, use_pallas=use_pallas,
+                        iden_cin_cap=iden_cin_cap, bt_budget=bt_budget)
 
 
 def _stem_fusable(w, x):

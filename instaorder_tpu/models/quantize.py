@@ -241,6 +241,9 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
 
 
 def _stem_int8(q, x8, use_pallas=False, chunks=1):
+    """int8 stem. `chunks` bounds the XLA stem's HBM liveness; the fused
+    pallas stem ('stem' in use_pallas) is VMEM-resident and has no such
+    liveness problem, so `chunks` is intentionally a no-op there."""
     feats = _pallas_features(use_pallas)
     if ('stem' in feats and q['conv1']['w'].shape[:2] == (7, 7) and
             x8.shape[1] % 4 == 0 and x8.shape[2] % 4 == 0):
@@ -272,6 +275,170 @@ def apply_folded_int8(q, cfg, x, use_pallas=True, stem_chunks=1):
     x8 = quantize_input(x, q['cfg_scales']['in'])
     h8 = _stem_int8(q, x8, use_pallas=use_pallas, chunks=stem_chunks)
     return _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
+
+
+# ---------------------------------------------------------------------------
+# v2: boundary-int8 storage, float compute.
+#
+# Round 2 measured the fully-quantized path ~2x slower per kernel than
+# bf16 (VPU-serial requant epilogues + packed-s8 sublane shuffles,
+# PERFORMANCE.md int8 post-mortem). v2 keeps int8 ONLY as the HBM storage
+# format at block boundaries — the stem output and every bottleneck
+# output — while all arithmetic inside a block runs in bf16 (or f32 for
+# tests) exactly like the unquantized path. Inter-block HBM traffic
+# halves; the MXU/VPU work is identical to bf16; quantization error is
+# limited to one round/clip per boundary (no h1/h2 quantization at all).
+#
+# Scale algebra per block with boundary scales s_in (input) / s_out:
+#   conv1 w *= s_in          (int8 input casts straight into the matmul)
+#   conv3 w /= s_out, b /= s_out
+#   down  w *= s_in / s_out, b /= s_out
+#   identity residual: + x_int8 * (s_in / s_out)
+#   output: clip(round(relu(.)), 0, 127) -> int8
+# The stem folds 1/s_stem into conv1 (input x stays unquantized — prep
+# output feeds the conv in the compute dtype, bit-identical to bf16).
+# ---------------------------------------------------------------------------
+
+
+def quantize_folded_v2(folded, cfg, scales, compute_dtype=jnp.bfloat16):
+    """folded f32 params + boundary calibration scales (only 'in'/'stem'
+    and per-block 'out' entries of calibrate_folded_resnet are used) ->
+    v2 serving params: compute-dtype weights with boundary scales
+    folded, f32 biases, int8 storage at block boundaries."""
+    cdt = compute_dtype
+
+    def _w(a, mul=1.0):
+        return jnp.asarray(np.asarray(a, np.float32) * mul, cdt)
+
+    def _b(a, mul=1.0):
+        return jnp.asarray(np.asarray(a, np.float32) * mul, jnp.float32)
+
+    s_stem = float(scales['stem'])
+    q: Dict[str, Any] = {
+        'conv1': {'w': _w(folded['conv1']['w'], 1.0 / s_stem),
+                  'b': _b(folded['conv1']['b'], 1.0 / s_stem)},
+    }
+    s_prev = s_stem
+    for li in range(4):
+        name = f'layer{li + 1}'
+        stage = []
+        for bi, bp in enumerate(folded[name]):
+            s_out = float(scales[name][bi]['out'])
+            qb: Dict[str, Any] = {
+                'conv1': {'w': _w(bp['conv1']['w'], s_prev),
+                          'b': _b(bp['conv1']['b'])},
+                'conv2': {'w': _w(bp['conv2']['w']),
+                          'b': _b(bp['conv2']['b'])},
+                'conv3': {'w': _w(bp['conv3']['w'], 1.0 / s_out),
+                          'b': _b(bp['conv3']['b'], 1.0 / s_out)},
+            }
+            if 'down' in bp:
+                qb['down'] = {'w': _w(bp['down']['w'], s_prev / s_out),
+                              'b': _b(bp['down']['b'], 1.0 / s_out)}
+            else:
+                qb['r'] = np.float32(s_prev / s_out)
+            stage.append(qb)
+            s_prev = s_out
+        q[name] = stage
+    for fc in ('fc', 'fc_occ', 'fc_depth'):
+        if fc in folded:
+            q[fc] = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), folded[fc])
+    q['s_feat'] = np.float32(s_prev)
+    return q
+
+
+def _q8(y):
+    """f32 pre-activation -> one-sided int8 boundary storage."""
+    return jnp.clip(jnp.round(jnp.maximum(y, 0.0)), 0, 127).astype(jnp.int8)
+
+
+def _stem_v2(q, x, chunks=1):
+    """Compute-dtype stem conv (1/s_stem folded) -> int8 requant BEFORE
+    the maxpool (monotone, commutes) -> int8 pool output."""
+    cdt = q['conv1']['w'].dtype
+
+    def stem(xc):
+        h = cnn.conv2d(q['conv1'], xc.astype(cdt), stride=2, padding=3)
+        return cnn.max_pool(_q8(h), 3, 2, 1)
+    n = x.shape[0]
+    while chunks > 1 and n % chunks:
+        chunks -= 1
+    if chunks <= 1:
+        return stem(x)
+    xs = x.reshape(chunks, n // chunks, *x.shape[1:])
+    return jax.lax.map(stem, xs).reshape(n, x.shape[1] // 4,
+                                         x.shape[2] // 4, -1)
+
+
+_PALLAS_DEFAULT_V2 = frozenset(('identity',))
+
+
+def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
+                    bt_budget=None):
+    """int8 stem output -> boundary-int8 trunk -> f32 head logits."""
+    from .folding import _pallas_features as shared
+    from ..ops import pallas_blocks as _pb
+    feats = shared(use_pallas, default=_PALLAS_DEFAULT_V2)
+    cap = _pb.IDEN_CIN_CAP if iden_cin_cap is None else iden_cin_cap
+    groups = cfg['groups']
+    assert cfg['block'] == 'bottleneck' and groups == 1, \
+        'v2 path targets the resnet50 family'
+    cdt = q['conv1']['w'].dtype
+    for li in range(4):
+        for bi, qb in enumerate(q[f'layer{li + 1}']):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            if ('down' not in qb and stride == 1 and 'identity' in feats
+                    and qb['conv1']['w'].shape[2] <= cap):
+                h8 = _pb.fused_bottleneck_i8v2(
+                    h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                    qb['conv2']['w'], qb['conv2']['b'],
+                    qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
+                    bt_budget=bt_budget)
+                continue
+            xb = h8.astype(cdt)
+            h = jnp.maximum(cnn.conv2d(qb['conv1'], xb), 0.0).astype(cdt)
+            h = jnp.maximum(cnn.conv2d(qb['conv2'], h, stride=stride,
+                                       padding=1), 0.0).astype(cdt)
+            y = cnn.conv2d(qb['conv3'], h)
+            if 'down' in qb:
+                iden = cnn.conv2d(qb['down'], xb, stride=stride)
+            else:
+                iden = xb.astype(jnp.float32) * qb['r']
+            h8 = _q8(y + iden)
+    feat = h8.astype(jnp.float32) * q['s_feat']
+    pooled = jnp.mean(feat, axis=(1, 2))
+    if cfg['dual_head']:
+        return (cnn.linear(q['fc_occ'], pooled),
+                cnn.linear(q['fc_depth'], pooled))
+    return cnn.linear(q['fc'], pooled)
+
+
+def apply_folded_v2(q, cfg, x, use_pallas=True, stem_chunks=1,
+                    iden_cin_cap=None, bt_budget=None):
+    """Unquantized prep output -> boundary-int8 trunk -> f32 logits."""
+    h8 = _stem_v2(q, x, chunks=stem_chunks)
+    return _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
+                           iden_cin_cap=iden_cin_cap, bt_budget=bt_budget)
+
+
+def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
+                            iden_cin_cap=None, bt_budget=None):
+    """Both swap directions via the folded-conv1 trick
+    (models/folding.py:95-140): conv1(swap(x)) == conv1'(x) with input
+    channel rows 0,1 exchanged."""
+    cin = q['conv1']['w'].shape[2]
+    perm = [1, 0] + list(range(2, cin))
+    conv1_sw = dict(q['conv1'], w=q['conv1']['w'][:, :, perm, :])
+    h1 = _stem_v2(q, x, chunks=stem_chunks)
+    h2 = _stem_v2(dict(q, conv1=conv1_sw), x, chunks=stem_chunks)
+    h8 = jnp.concatenate([h1, h2], axis=0)
+    out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
+                          iden_cin_cap=iden_cin_cap, bt_budget=bt_budget)
+    n = x.shape[0]
+    if isinstance(out, tuple):
+        return tuple(o[:n] for o in out), tuple(o[n:] for o in out)
+    return out[:n], out[n:]
 
 
 def apply_folded_int8_siamese(q, cfg, x, use_pallas=True, stem_chunks=1):

@@ -25,8 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # identity/stage-kernel input-block budget (bytes per grid step). bt=2 at
-# layer1 was tuned under the old 16MB scoped-VMEM default; override (e.g.
-# via bench.py --bt-budget) to re-tune under the 100MB limit.
+# layer1 was tuned under the old 16MB scoped-VMEM default; override via
+# the kernels' `bt_budget` argument (bench.py --bt-budget-mb) to re-tune
+# under the 100MB limit.
+#
+# NB: these module globals are DEFAULTS read at trace time; jit caches do
+# not key on them, so mutating them after a first call with the same
+# shapes silently reuses the stale executable. Library callers should
+# pass the explicit `bt_budget` / `iden_cin_cap` arguments instead
+# (folding.apply_folded / quantize.apply_folded_v2 thread them through).
 BT_BUDGET = 5 * 1024 * 1024
 
 # max conv1 input channels routed to the fused kernels. 512 (= layers
@@ -74,9 +81,10 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
         B, H, W, Cin)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget'))
 def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False,
-                     batch_tile=None):
+                     batch_tile=None, bt_budget=None):
     """Stride-1, groups-1, identity-skip bottleneck block.
 
     x: (N, H, W, Cin); w1: (Cin, Cm); w2: (3, 3, Cm, Cm) HWIO;
@@ -84,7 +92,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False,
 
     batch_tile: images per grid step (amortises per-step fixed cost and
     widens the matmuls). Default: largest divisor of N whose tile fits
-    a ~10MB input-block budget.
+    the `bt_budget` (default BT_BUDGET) input-block byte budget.
     """
     N, H, W, Cin = x.shape
     Cm = w1.shape[1]
@@ -93,7 +101,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False,
         # the smaller deep stages; bt>2 at layer1 over-pressures VMEM and
         # loses pipelining (measured).
         per_img = H * W * Cin * x.dtype.itemsize
-        budget = BT_BUDGET
+        budget = BT_BUDGET if bt_budget is None else bt_budget
         batch_tile = max(1, min(8, budget // max(per_img, 1)))
         while N % batch_tile:
             batch_tile -= 1
@@ -159,9 +167,10 @@ def _stage_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref[:] = cur.reshape(B, H, W, Cin)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget'))
 def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
-                           batch_tile=None):
+                           batch_tile=None, bt_budget=None):
     """Run K stacked stride-1 bottleneck blocks (weights with a leading
     block axis) in one pallas call: the intermediate activations between
     blocks never touch HBM.
@@ -172,7 +181,7 @@ def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
     K, _, Cm = w1.shape
     if batch_tile is None:
         per_img = H * W * Cin * x.dtype.itemsize
-        budget = BT_BUDGET
+        budget = BT_BUDGET if bt_budget is None else bt_budget
         batch_tile = max(1, min(8, budget // max(per_img, 1)))
         while N % batch_tile:
             batch_tile -= 1
@@ -196,6 +205,102 @@ def fused_bottleneck_stage(x, w1, b1, w2, b2, w3, b3, interpret=False,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32))
+
+
+def _stage_stream_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                         b3_ref, out_ref, act_ref, h1p_ref):
+    """One bottleneck block per grid step k, activations resident.
+
+    grid = (N // B, K): the activation tile lives in `act_ref` scratch
+    across the K block steps — the input block is DMA'd once (k == 0,
+    same index_map for every k so the pipeline does not refetch) and the
+    output written once (k == K - 1). Each step streams only block k's
+    weights (leading-axis blocks of the stacked weight arrays), so VMEM
+    holds one block's weights at a time — unlike round 1's
+    fused_bottleneck_stage whose fully-resident weight stacks starved
+    the pipeline at layer3/4 (PERFORMANCE.md round-1 table)."""
+    B, H, W, Cin = x_ref.shape
+    Cm = w1_ref.shape[2]
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        act_ref[:] = x_ref[:]
+
+    cur = act_ref[:].reshape(B * H * W, Cin)
+    h1 = jnp.dot(cur, w1_ref[0], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[0], 0.0).astype(cur.dtype)
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
+    cols = jnp.concatenate(
+        [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc = jnp.dot(cols, w2_ref[0].reshape(9 * Cm, Cm),
+                  preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[0], 0.0).astype(cur.dtype)
+    out = jnp.dot(h2, w3_ref[0], preferred_element_type=jnp.float32)
+    out = out + b3_ref[0] + cur.astype(jnp.float32)
+    new = jnp.maximum(out, 0.0).astype(cur.dtype).reshape(B, H, W, Cin)
+    act_ref[:] = new
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = new
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget'))
+def fused_bottleneck_stage_stream(x, w1, b1, w2, b2, w3, b3,
+                                  interpret=False, batch_tile=None,
+                                  bt_budget=None):
+    """K stacked stride-1 identity bottlenecks in ONE pallas call with
+    VMEM-resident activations and grid-streamed per-block weights: one
+    HBM read and one write per stage segment regardless of K, and no
+    XLA<->pallas boundary relayouts between blocks.
+
+    x: (N, H, W, Cin); w1: (K, Cin, Cm); w2: (K, 3, 3, Cm, Cm);
+    w3: (K, Cm, Cin); b*: (K, C)."""
+    N, H, W, Cin = x.shape
+    K, _, Cm = w1.shape
+    if batch_tile is None:
+        per_img = H * W * Cin * x.dtype.itemsize
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    return pl.pallas_call(
+        _stage_stream_kernel,
+        grid=(N // B, K),
+        in_specs=[
+            pl.BlockSpec((B, H, W, Cin), lambda n, k: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cin, Cm), lambda n, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cm), lambda n, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3, Cm, Cm), lambda n, k: (k, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cm), lambda n, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cm, Cin), lambda n, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cin), lambda n, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, H, W, Cin), lambda n, k: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H, W, Cin), x.dtype),
+                        pltpu.VMEM((B, H + 2, W + 2, Cm), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -290,6 +395,92 @@ def fused_bottleneck_int8(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, sxr,
       w2, m2.astype(jnp.float32), b2.astype(jnp.float32),
       w3, m3.astype(jnp.float32), b3.astype(jnp.float32),
       jnp.asarray(sxr, jnp.float32).reshape(1, 1))
+
+
+def _bottleneck_i8v2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                            b3_ref, r_ref, out_ref, h1p_ref):
+    """Boundary-int8 bottleneck: int8 HBM I/O, bf16/f32 internal compute.
+
+    Round-2's fully-quantized kernel lost to bf16 (PERFORMANCE.md int8
+    post-mortem): the per-element f32 requant epilogues run serially on
+    the VPU and every 1-offset slice of packed s8 data is a sublane
+    shuffle. This variant keeps int8 ONLY as the HBM storage format
+    (half the inter-block traffic): the input tile is cast once to the
+    compute dtype (weights' dtype), the whole block runs exactly like
+    the bf16 kernel, and one round/clip/cast quantizes the output tile.
+
+    x int8 (B, H, W, Cin); w1 (Cin, Cm) compute-dtype with the input
+    scale s_in folded in; w2 (3,3,Cm,Cm); w3 (Cm, Cin) with 1/s_out
+    folded; b* f32 (b3 pre-divided by s_out); r (1,1) f32 = s_in/s_out
+    for the residual. Returns int8 (B, H, W, Cin).
+    See models/quantize.py:quantize_folded_v2 for the scale algebra.
+    """
+    B, H, W, Cin = x_ref.shape
+    Cm = w1_ref.shape[1]
+    cdt = w1_ref.dtype
+
+    x2d = x_ref[:].reshape(B * H * W, Cin).astype(cdt)
+
+    h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
+
+    cols = jnp.concatenate(
+        [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                  preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+    out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    out = out + b3_ref[:] + x2d.astype(jnp.float32) * r_ref[0, 0]
+    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0, 127
+                          ).astype(jnp.int8).reshape(B, H, W, Cin)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget'))
+def fused_bottleneck_i8v2(x, w1, b1, w2, b2, w3, b3, r, interpret=False,
+                          batch_tile=None, bt_budget=None):
+    """Boundary-int8 stride-1 identity bottleneck (int8 I/O, float
+    compute — see _bottleneck_i8v2_kernel). x int8 (N, H, W, Cin);
+    w1 (Cin, Cm) / w2 (3,3,Cm,Cm) / w3 (Cm, Cin) in the compute dtype
+    (bf16 serving, f32 tests); b* f32; r f32 scalar."""
+    N, H, W, Cin = x.shape
+    Cm = w1.shape[1]
+    if batch_tile is None:
+        # VMEM is dominated by the same bf16 internals as the bf16
+        # kernel (h1p, cols, accumulators) — size the tile as if the
+        # input were bf16 so both kernels pipeline identically.
+        per_img = H * W * Cin * 2
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    return pl.pallas_call(
+        _bottleneck_i8v2_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
+        scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), w1.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32), jnp.asarray(r, jnp.float32).reshape(1, 1))
 
 
 def stem_reference(x, w, b):

@@ -171,6 +171,13 @@ def test_load_pretrain_partial_state_dict(tmp_path):
     np.testing.assert_allclose(
         np.asarray(p2['conv1']['w']),
         np.asarray(sd['conv1.weight'].numpy().transpose(2, 3, 1, 0)))
+    # BN affine params load even though the running stats are gone
+    # (torch strict=False loads tensor-by-tensor, not per-module)
+    np.testing.assert_allclose(np.asarray(p2['bn1']['scale']),
+                               sd['bn1.weight'].numpy())
+    np.testing.assert_allclose(
+        np.asarray(p2['layer1'][0]['bn2']['bias']),
+        sd['layer1.0.bn2.bias'].numpy())
     # scratch kept where absent
     np.testing.assert_array_equal(np.asarray(p2['fc']['w']), fc_before)
     np.testing.assert_array_equal(

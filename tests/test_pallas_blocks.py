@@ -105,6 +105,32 @@ def test_fused_stage_parity():
                                atol=2e-5)
 
 
+def test_fused_stage_stream_parity():
+    """Weight-streamed stage kernel (grid over blocks, activations
+    resident in scratch) vs sequential XLA blocks — and vs the resident-
+    stack stage kernel."""
+    rng = np.random.RandomState(7)
+    N, H, W, cin, cm, K = 4, 16, 16, 256, 64, 3
+    x = rng.randn(N, H, W, cin).astype(np.float32)
+    w1 = rng.randn(K, cin, cm).astype(np.float32) * 0.05
+    b1 = rng.randn(K, cm).astype(np.float32) * 0.1
+    w2 = rng.randn(K, 3, 3, cm, cm).astype(np.float32) * 0.05
+    b2 = rng.randn(K, cm).astype(np.float32) * 0.1
+    w3 = rng.randn(K, cm, cin).astype(np.float32) * 0.05
+    b3 = rng.randn(K, cin).astype(np.float32) * 0.1
+    want = jnp.asarray(x)
+    for k in range(K):
+        want = bottleneck_reference(want, w1[k], b1[k], w2[k], b2[k],
+                                    w3[k], b3[k])
+    from instaorder_tpu.ops.pallas_blocks import (
+        fused_bottleneck_stage_stream)
+    got = fused_bottleneck_stage_stream(
+        jnp.asarray(x), *map(jnp.asarray, (w1, b1, w2, b2, w3, b3)),
+        interpret=True, batch_tile=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
 def test_fused_stem_parity():
     from instaorder_tpu.ops.pallas_blocks import fused_stem, stem_reference
     rng = np.random.RandomState(4)

@@ -120,6 +120,105 @@ def test_int8_siamese_swap_fold(small_net):
         atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# v2: boundary-int8 storage, float compute (quantize_folded_v2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope='module')
+def v2_net(small_net):
+    folded, cfg, _q, xs = small_net
+    scales = Q.calibrate_folded_resnet(folded, cfg, xs)
+    # f32 compute dtype: deterministic CPU math for the parity tests
+    qv2 = Q.quantize_folded_v2(folded, cfg, scales,
+                               compute_dtype=jnp.float32)
+    return folded, cfg, qv2, xs
+
+
+def test_v2_close_to_f32_and_decisions_agree(v2_net, small_net):
+    folded, cfg, qv2, xs = v2_net
+    _, _, q_full, _ = small_net
+    x = xs[0]
+    want = np.asarray(apply_folded(folded, cfg, x))
+    got = np.asarray(Q.apply_folded_v2(qv2, cfg, jnp.asarray(x),
+                                       use_pallas=False))
+    scale = max(np.abs(want).max(), 1e-6)
+    # boundary-only quantization: strictly less noise than the fully
+    # quantized path (which test_int8_close... bounds at 0.15)
+    assert np.abs(got - want).max() / scale < 0.1, (got, want)
+    full = np.asarray(Q.apply_folded_int8(q_full, cfg, jnp.asarray(x),
+                                          use_pallas=False))
+    assert (np.abs(got - want).max() <=
+            np.abs(full - want).max() + 1e-3 * scale)
+
+
+def test_pallas_i8v2_kernel_matches_xla_block(v2_net):
+    """The boundary-int8 Pallas kernel vs the XLA v2 identity block:
+    identical math up to f32 reassociation — int8 outputs may differ
+    only by round() ties (<=1 LSB, rare)."""
+    folded, cfg, qv2, xs = v2_net
+    h8 = Q._stem_v2(qv2, jnp.asarray(xs[0]))
+    # drive through layer1[0] (projection) on the XLA path
+    qb0 = qv2['layer1'][0]
+    xb = h8.astype(jnp.float32)
+    h = jnp.maximum(Q.cnn.conv2d(qb0['conv1'], xb), 0.0)
+    h = jnp.maximum(Q.cnn.conv2d(qb0['conv2'], h, padding=1), 0.0)
+    y = Q.cnn.conv2d(qb0['conv3'], h)
+    iden = Q.cnn.conv2d(qb0['down'], xb)
+    blk_in = Q._q8(y + iden)
+
+    qb = qv2['layer1'][1]
+    xb = blk_in.astype(jnp.float32)
+    h = jnp.maximum(Q.cnn.conv2d(qb['conv1'], xb), 0.0)
+    h = jnp.maximum(Q.cnn.conv2d(qb['conv2'], h, padding=1), 0.0)
+    y = Q.cnn.conv2d(qb['conv3'], h)
+    want = np.asarray(Q._q8(y + xb * qb['r']), np.int32)
+
+    from instaorder_tpu.ops.pallas_blocks import fused_bottleneck_i8v2
+    got = np.asarray(fused_bottleneck_i8v2(
+        blk_in, qb['conv1']['w'][0, 0], qb['conv1']['b'],
+        qb['conv2']['w'], qb['conv2']['b'],
+        qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
+        interpret=True, batch_tile=1), np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
+
+
+def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
+    folded, cfg, qv2, xs = v2_net
+    from instaorder_tpu.ops import pallas_blocks
+
+    x = jnp.asarray(xs[1])
+    want = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=False))
+
+    orig = pallas_blocks.fused_bottleneck_i8v2
+    pallas_blocks.fused_bottleneck_i8v2 = (
+        lambda *a, **kw: orig(*a, **dict(kw, interpret=True)))
+    try:
+        got = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=True))
+    finally:
+        pallas_blocks.fused_bottleneck_i8v2 = orig
+    # boundary round() ties may flip 1 LSB; heads smooth that to <<1%
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / scale < 0.02
+
+
+def test_v2_siamese_swap_fold(v2_net):
+    folded, cfg, qv2, xs = v2_net
+    x = jnp.asarray(xs[0])
+    o1, o2 = Q.apply_folded_v2_siamese(qv2, cfg, x, use_pallas=False)
+    perm = jnp.asarray([1, 0, 2, 3, 4])
+    np.testing.assert_allclose(
+        np.asarray(o2),
+        np.asarray(Q.apply_folded_v2(qv2, cfg, x[..., perm],
+                                     use_pallas=False)), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(o1),
+        np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=False)),
+        atol=1e-4)
+
+
 def test_calibration_scales_shape(small_net):
     folded, cfg, q, xs = small_net
     assert q['conv1']['w'].dtype == jnp.int8
