@@ -71,13 +71,19 @@ def eval_diw(forward, reader, n_samples=-1, log=print):
 
 
 def eval_dense_depth(forward, reader, dataset='kitti', n_samples=-1,
-                     read_gt_depth=None, log=print) -> Dict[str, float]:
+                     read_gt_depth=None, log=print,
+                     save_dir=None) -> Dict[str, float]:
     """KITTI/NYU: disparity -> min-max norm -> depth = 1/(disp+1e-3) ->
     median scaling vs GT -> clip [min_depth, max_depth] -> 8 metrics
     (test_disp_KITTI.py:171-239).
 
     read_gt_depth(depth_name) -> float32 HxW depth in meters (0 =
-    missing); defaults to the KITTI uint16/256 PNG convention."""
+    missing); defaults to the KITTI uint16/256 PNG convention.
+
+    save_dir: when set, writes the reference's per-image debug
+    artifacts (test_disp_KITTI.py:205-231): depth histogram under
+    distribution/depth/, pred_disp/{img}_{d1:.2f}.png, gt_disp/ and the
+    un-normalized rgb/ (all cmap inferno except rgb)."""
     import cv2
 
     min_depth, max_depth = (1e-3, 80.0) if dataset == 'kitti' else (1e-3,
@@ -111,8 +117,16 @@ def eval_dense_depth(forward, reader, dataset='kitti', n_samples=-1,
             continue
         ratio = np.median(gt_depth[valid]) / np.median(pred_depth[valid])
         pred_depth = pred_depth * ratio
+        if save_dir is not None:
+            # histogram of the scaled (pre-clip) depths, 50 gray bins
+            # (test_disp_KITTI.py:209-215)
+            _save_depth_hist(save_dir, img_name, pred_depth[valid])
         pred_depth = np.clip(pred_depth, min_depth, max_depth)
-        errors.append(compute_errors(gt_depth[valid], pred_depth[valid]))
+        err = compute_errors(gt_depth[valid], pred_depth[valid])
+        errors.append(err)
+        if save_dir is not None:
+            _save_disp_pngs(save_dir, img_name, disp, gt_depth,
+                            image_chw, err['d1'] * 100.0)
     log(f'computed error on {len(errors)} / {missing} missing')
     if not errors:
         return {'n': 0}
@@ -127,6 +141,47 @@ def eval_dense_depth(forward, reader, dataset='kitti', n_samples=-1,
     log('\n  ' + header)
     log(vals)
     return out
+
+
+def _save_depth_hist(save_dir, img_name, depths):
+    import os
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    name = os.path.splitext(os.path.basename(img_name))[0]
+    d = os.path.join(save_dir, 'distribution', 'depth')
+    os.makedirs(d, exist_ok=True)
+    plt.hist(depths, color='gray', edgecolor='black', bins=50)
+    plt.title('Histogram of pred_depth[mask_valid]')
+    plt.xlabel('depth')
+    plt.ylabel('distribution')
+    plt.savefig(os.path.join(d, f'{name}.png'))
+    plt.close('all')
+
+
+def _save_disp_pngs(save_dir, img_name, pred_disp, gt_depth, image_chw,
+                    d1_pct):
+    """pred/gt disparity + un-normalized rgb imsaves
+    (test_disp_KITTI.py:224-231)."""
+    import os
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from ..utils.midas_io import unnormalize
+    name = os.path.splitext(os.path.basename(img_name))[0]
+    for sub in ('pred_disp', 'gt_disp', 'rgb'):
+        os.makedirs(os.path.join(save_dir, sub), exist_ok=True)
+    plt.imsave(os.path.join(save_dir, 'pred_disp',
+                            f'{name}_{d1_pct:.2f}.png'),
+               pred_disp, cmap='inferno')
+    gt_disp = 1.0 / (gt_depth + 1e-3)
+    gt_disp[gt_depth == 0] = 0
+    plt.imsave(os.path.join(save_dir, 'gt_disp', f'{name}.png'),
+               gt_disp, cmap='inferno')
+    rgb = unnormalize(image_chw)
+    rgb = np.clip(rgb, None, 1.0)
+    plt.imsave(os.path.join(save_dir, 'rgb', f'{name}.png'),
+               np.clip(rgb, 0.0, 1.0).transpose(1, 2, 0))
 
 
 def make_disp_forward(algo, load_model=None, features=256):

@@ -15,6 +15,7 @@ programs covers the whole dataset (static shapes for XLA).
 from __future__ import annotations
 
 import functools
+import inspect
 
 import numpy as np
 import jax
@@ -28,12 +29,23 @@ from . import decode as D
 
 PAIR_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
 
+# 'orig' eval mode pads the x32-rounded image to the next multiple of
+# this step and tells the net the valid region (resnet.apply valid_hw),
+# so real-size eval compiles O(#buckets) programs instead of one per
+# image size (reference inference.py:401-408 runs truly per-size).
+HW_BUCKET_STEP = 128
+
 
 def bucket_pairs(p: int) -> int:
     for b in PAIR_BUCKETS:
         if p <= b:
             return b
     return int(np.ceil(p / PAIR_BUCKETS[-1]) * PAIR_BUCKETS[-1])
+
+
+def bucket_hw(v: int) -> int:
+    return max(HW_BUCKET_STEP,
+               int(np.ceil(v / HW_BUCKET_STEP) * HW_BUCKET_STEP))
 
 
 def _swap_input(x):
@@ -72,32 +84,51 @@ class OrderPredictor:
         self.mesh = mesh
         assert directions in (1, 2)
         self.directions = directions
+        # 'orig' bucketing needs the forward to accept a static valid_hw
+        # (resnet.apply does); other apply_fns fall back to per-size
+        # compiles there
+        try:
+            self._takes_valid_hw = ('valid_hw' in
+                                    inspect.signature(apply_fn).parameters)
+        except (TypeError, ValueError):
+            self._takes_valid_hw = False
 
-        if mesh is None:
-            @functools.partial(jax.jit, static_argnames=())
-            def _forward(params, stats, x):
+        def _call_apply(params, stats, x, valid_hw):
+            if valid_hw is not None:
+                out, _ = apply_fn(params, stats, cfg, x, train=False,
+                                  valid_hw=valid_hw)
+            else:
                 out, _ = apply_fn(params, stats, cfg, x, train=False)
-                return out
+            return out
+
+        # valid_hw rides as DYNAMIC int32 scalars (not static args):
+        # one compiled program serves every valid size within a bucket
+        if mesh is None:
+            @jax.jit
+            def _forward(params, stats, x, valid_hw=None):
+                return _call_apply(params, stats, x, valid_hw)
         else:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            def _fwd(params, stats, x):
-                out, _ = apply_fn(params, stats, cfg, x, train=False)
-                return out
-
-            _forward = jax.jit(shard_map(
-                _fwd, mesh=mesh,
-                in_specs=(P(), P(), P('data')),
-                out_specs=P('data'), check_vma=False))
+            @jax.jit
+            def _forward(params, stats, x, valid_hw=None):
+                def _fwd(params, stats, x):
+                    return _call_apply(params, stats, x, valid_hw)
+                return shard_map(
+                    _fwd, mesh=mesh,
+                    in_specs=(P(), P(), P('data')),
+                    out_specs=P('data'), check_vma=False)(params, stats, x)
 
         self._forward = _forward
 
     def _build_batch(self, image, masks, bboxes, pair_idx):
+        """-> (x, valid_hw): the (P, h, w, 5) pair batch plus the static
+        valid region for 'orig' bucket padding (None elsewhere)."""
         if self.patch_or_image == 'patch':
             return build_pair_batch(image, masks, bboxes, pair_idx,
                                     out_size=self.input_size,
-                                    rgb_method='cubic')
+                                    rgb_method='cubic'), None
         if self.patch_or_image == 'image':
             # pad-to-square: one shared roi centred on the image
             # (inference.py:377-393)
@@ -108,15 +139,19 @@ class OrderPredictor:
             rois = jnp.asarray(np.tile(roi, (pair_idx.shape[0], 1)))
             return build_pair_batch_rois(image, masks, pair_idx, rois,
                                          out_size=self.input_size,
-                                         rgb_method='linear')
+                                         rgb_method='linear'), None
         if self.patch_or_image == 'resize':
             return build_pair_batch_shared_rgb(image, masks, pair_idx,
                                                out_size=self.input_size,
-                                               rgb_method='cubic')
+                                               rgb_method='cubic'), None
         if self.patch_or_image == 'orig':
             # image-native resolution rounded to x32
-            # (inference.py:401-408 via get_closest_int_multiple_of);
-            # NB: recompiles per (h, w) bucket.
+            # (inference.py:401-408 via get_closest_int_multiple_of),
+            # zero-padded up to the (h, w) bucket with the valid region
+            # passed as a static argument — O(#buckets) compiled
+            # programs over a real varied-size dataset instead of one
+            # per image size. Falls back to exact-size (per-size
+            # compiles) when the forward has no valid_hw support.
             from ..utils.geometry import get_closest_int_multiple_of
             h = get_closest_int_multiple_of(int(image.shape[0]), 32)
             w = get_closest_int_multiple_of(int(image.shape[1]), 32)
@@ -133,8 +168,15 @@ class OrderPredictor:
             mj = masks_r[pair_idx[:, 1]]
             P = pair_idx.shape[0]
             rgb_b = jnp_.broadcast_to(rgb[None], (P, h, w, 3))
-            return jnp_.concatenate([mi[..., None], mj[..., None], rgb_b],
-                                    axis=-1)
+            x = jnp_.concatenate([mi[..., None], mj[..., None], rgb_b],
+                                 axis=-1)
+            if not self._takes_valid_hw:
+                return x, None
+            hb, wb = bucket_hw(h), bucket_hw(w)
+            if (hb, wb) != (h, w):
+                x = jnp_.pad(x, ((0, 0), (0, hb - h), (0, wb - w),
+                                 (0, 0)))
+            return x, (jnp_.int32(h), jnp_.int32(w))
         raise ValueError(self.patch_or_image)
 
     def _pair_outputs(self, image, masks, bboxes, pairs='all'):
@@ -144,17 +186,19 @@ class OrderPredictor:
         if pairs == 'nbor' and n > 1:
             bm = np.asarray(bordering_matrix(jnp.asarray(masks)))
             valid &= bm[pair_idx[:, 0], pair_idx[:, 1]]
-        x1 = self._build_batch(jnp.asarray(image, jnp.float32),
-                               jnp.asarray(masks), jnp.asarray(
-                                   np.asarray(bboxes, np.float32)),
-                               jnp.asarray(pair_idx))
+        x1, valid_hw = self._build_batch(jnp.asarray(image, jnp.float32),
+                                         jnp.asarray(masks), jnp.asarray(
+                                             np.asarray(bboxes,
+                                                        np.float32)),
+                                         jnp.asarray(pair_idx))
         if self.directions == 1:
             x = x1
         else:
             x = jnp.concatenate([x1, _swap_input(x1)], axis=0)
         if not self.use_rgb:
             x = x[..., :2]
-        out = self._forward(self.params, self.stats, x)
+        out = self._forward(self.params, self.stats, x,
+                            valid_hw=valid_hw)
         if self.directions == 1:
             return pair_idx, jnp.asarray(valid), out, None, n
         P = pair_idx.shape[0]
@@ -286,7 +330,12 @@ class DisparityOrderPredictor:
 
         self._region_depths = _region_depths
 
-    def infer_depth_order(self, image, masks, bboxes=None, pairs='all'):
+    def infer_depth_order(self, image, masks, bboxes=None, pairs='all',
+                          return_disp=False):
+        """return_disp: also return the [q05, q95]-clipped disparity
+        map (reference infer_order_sup_depth's second return,
+        inference.py:588,601,624 — dumped as disp/{img}.png by the
+        Tester under save_pngs, tools/test.py:366-371)."""
         from ..ops.pairs import IMAGENET_MEAN, IMAGENET_STD
         from ..ops.resize import resize, resize_nearest
         sz = self.input_size
@@ -295,6 +344,11 @@ class DisparityOrderPredictor:
         rgb = jnp.clip(jnp.round(rgb), 0.0, 255.0)
         rgb = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         disp = self.forward(rgb[None])[0]
+        disp_clipped = None
+        if return_disp:
+            lo = jnp.quantile(disp, 0.05)
+            hi = jnp.quantile(disp, 0.95)
+            disp_clipped = np.asarray(jnp.clip(disp, lo, hi))
         masks_r = resize_nearest(jnp.asarray(masks, jnp.float32),
                                  disp.shape[0], disp.shape[1])
         depths = np.asarray(self._region_depths(disp, masks_r))
@@ -312,4 +366,6 @@ class DisparityOrderPredictor:
                     order[i, j], order[j, i] = 0, 1
                 else:
                     order[i, j] = order[j, i] = 2
+        if return_disp:
+            return order, disp_clipped
         return order

@@ -190,6 +190,16 @@ class Tester:
             closer = ('lower' if self.dataset in ('COCOA', 'InstaOrder')
                       else 'higher')
             return H.infer_depth_order_yaxis(modal, closer=closer)
+        from .pipeline import DisparityOrderPredictor
+        if (isinstance(self.predictor, DisparityOrderPredictor)
+                and self.save_pngs):
+            # keep the clipped disparity for the disp/ PNG artifact
+            pred, self._last_disp = self.predictor.infer_depth_order(
+                image.astype(np.float32), modal.astype(np.float32),
+                bboxes.astype(np.float32), pairs=self.pairs,
+                return_disp=True)
+            return pred
+        self._last_disp = None
         return self.predictor.infer_depth_order(
             image.astype(np.float32), modal.astype(np.float32),
             bboxes.astype(np.float32), pairs=self.pairs)
@@ -240,7 +250,8 @@ class Tester:
                 f"{per['ovlO_all'][0]:.3f} | {per['ovlOX_all'][0]:.3f}")
             if self.save_pngs:
                 self._dump_pngs(fn, image, modal, pred_depth=pred,
-                                gt_depth=gt_d[0], gt_overlap=gt_d[1])
+                                gt_depth=gt_d[0], gt_overlap=gt_d[1],
+                                disp=getattr(self, '_last_disp', None))
         return self._finish_whdr(whdr_acc)
 
     def eval_occ_depth_order(self):
@@ -282,9 +293,12 @@ class Tester:
         return out
 
     def _dump_pngs(self, image_fn, image, modal, pred_occ=None, gt_occ=None,
-                   pred_depth=None, gt_depth=None, gt_overlap=None):
+                   pred_depth=None, gt_depth=None, gt_overlap=None,
+                   disp=None):
         """PNG artifacts like tools/test.py:230-262: mask overlay + gt/pred
-        order graphs."""
+        order graphs; `disp` adds the clipped-disparity dump of
+        tools/test.py:366-371 (bicubic-upsampled to the image size,
+        cmap inferno)."""
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
@@ -313,6 +327,15 @@ class Tester:
                                      f'{img_name}.png'),
                         bbox_inches='tight')
             plt.close(fig)
+        if disp is not None:
+            from ..ops.resize import resize
+            os.makedirs(os.path.join(self.out_dir, 'disp'), exist_ok=True)
+            up = np.asarray(resize(
+                np.asarray(disp, np.float32)[None],
+                image.shape[0], image.shape[1], 'cubic'))[0]
+            plt.imsave(os.path.join(self.out_dir, 'disp',
+                                    f'{img_name}.png'),
+                       up, cmap='inferno')
 
     def _finish_whdr(self, whdr_acc):
         """Mean over images skipping the -1 empty-slice sentinel

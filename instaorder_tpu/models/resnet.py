@@ -22,6 +22,7 @@ from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import nn as cnn
 
@@ -70,13 +71,38 @@ def _block_init(key, block, cin, planes, stride, groups, base_width,
     return p, s
 
 
-def _block_apply(p, s, x, block, stride, groups, dilation, train):
+def _vmask(x, valid_hw):
+    """Zero everything beyond the (vh, vw) valid region. valid_hw may be
+    python ints or traced int32 scalars (dynamic: one compiled program
+    serves every valid size within a padded bucket)."""
+    if valid_hw is None:
+        return x
+    vh, vw = valid_hw
+    h, w = x.shape[1], x.shape[2]
+    if isinstance(vh, int) and isinstance(vw, int) and vh >= h and vw >= w:
+        return x
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    m = (rows < vh) & (cols < vw)
+    return jnp.where(m, x, jnp.zeros((), x.dtype))
+
+
+def _block_apply(p, s, x, block, stride, groups, dilation, train,
+                 valid_hw=None):
+    """valid_hw: static (vh, vw) valid region of x for padded-bucket
+    eval (see `apply`). Invariant: x is zero beyond it. Masking the
+    input of every spatial (3x3) conv and the block output makes the
+    result on the valid region bit-equal to an exact-size run — the
+    zeros the spatial convs read across the boundary are exactly the
+    implicit zero padding of the exact-size conv."""
     new_s = {}
     identity = x
+    out_hw = (None if valid_hw is None
+              else (valid_hw[0] // stride, valid_hw[1] // stride))
     if block == 'bottleneck':
         out = cnn.conv2d(p['conv1'], x)
         out, new_s['bn1'] = cnn.batch_norm(p['bn1'], s['bn1'], out, train)
-        out = jax.nn.relu(out)
+        out = _vmask(jax.nn.relu(out), valid_hw)  # conv2 is 3x3
         out = cnn.conv2d(p['conv2'], out, stride=stride, padding=dilation,
                          groups=groups, dilation=dilation)
         out, new_s['bn2'] = cnn.batch_norm(p['bn2'], s['bn2'], out, train)
@@ -86,14 +112,14 @@ def _block_apply(p, s, x, block, stride, groups, dilation, train):
     else:
         out = cnn.conv2d(p['conv1'], x, stride=stride, padding=1)
         out, new_s['bn1'] = cnn.batch_norm(p['bn1'], s['bn1'], out, train)
-        out = jax.nn.relu(out)
+        out = _vmask(jax.nn.relu(out), out_hw)  # conv2 is 3x3
         out = cnn.conv2d(p['conv2'], out, padding=1)
         out, new_s['bn2'] = cnn.batch_norm(p['bn2'], s['bn2'], out, train)
     if 'down_conv' in p:
         identity = cnn.conv2d(p['down_conv'], x, stride=stride)
         identity, new_s['down_bn'] = cnn.batch_norm(
             p['down_bn'], s['down_bn'], identity, train)
-    return jax.nn.relu(out + identity), new_s
+    return _vmask(jax.nn.relu(out + identity), out_hw), new_s
 
 
 def init(key, arch='resnet50', in_channels=3, num_classes=1000,
@@ -147,22 +173,43 @@ def init(key, arch='resnet50', in_channels=3, num_classes=1000,
     return p, s, cfg
 
 
-def apply(params, stats, cfg, x, train=False, features=False):
+def apply(params, stats, cfg, x, train=False, features=False,
+          valid_hw=None):
     """Forward. x: (N, H, W, C).
 
     Returns (out, new_stats). out is logits (or an (occ, depth) tuple for
     dual heads); with features=True, out is a dict of stage outputs
     {stem, layer1..4, pooled} — the headless `models/backbone/resnet.py`
     behavior plus what the MiDaS fusion branches consume.
+
+    valid_hw: static (vh, vw), multiples of 32, for padded-bucket eval
+    (eval/pipeline.py 'orig' mode): x is zero beyond [:vh, :vw] and the
+    logits equal an exact-size (vh, vw) run — spatial convs at the
+    boundary read the re-zeroed pad region exactly like their implicit
+    zero padding, and the global pool averages the valid region only.
+    Eval-mode only (train batch stats would mix in the pad region).
     """
     block = cfg['block']
     groups = cfg['groups']
+    if valid_hw is not None:
+        assert not train, 'valid_hw is an eval-only (static-stats) path'
+        if isinstance(valid_hw[0], int):
+            assert valid_hw[0] % 32 == 0 and valid_hw[1] % 32 == 0, valid_hw
     new_stats: Dict[str, Any] = {}
     out = cnn.conv2d(params['conv1'], x, stride=2, padding=3)
     out, new_stats['bn1'] = cnn.batch_norm(params['bn1'], stats['bn1'], out,
                                            train)
     out = jax.nn.relu(out)
+    # post-relu values are >= 0, so zeroed pad rows cannot win the
+    # maxpool over a valid window
+    vhw = None
+    if valid_hw is not None:
+        out = _vmask(out, (valid_hw[0] // 2, valid_hw[1] // 2))
+        vhw = (valid_hw[0] // 4, valid_hw[1] // 4)
     out = cnn.max_pool(out, 3, 2, 1)
+    # the pool's first pad row taps the last valid row (window pad 1),
+    # so re-zero to keep the invariant for 3x3 convs reading the stem
+    out = _vmask(out, vhw)
     feats = {'stem': out}
     for li in range(4):
         name = f'layer{li + 1}'
@@ -170,11 +217,18 @@ def apply(params, stats, cfg, x, train=False, features=False):
         for bi, (bp, bs) in enumerate(zip(params[name], stats[name])):
             stride = 2 if (li > 0 and bi == 0) else 1
             out, bns = _block_apply(bp, bs, out, block, stride, groups, 1,
-                                    train)
+                                    train, valid_hw=vhw)
+            if vhw is not None:
+                vhw = (vhw[0] // stride, vhw[1] // stride)
             stage_new.append(bns)
         new_stats[name] = stage_new
         feats[name] = out
-    pooled = cnn.avg_pool_global(out)
+    if vhw is None:
+        pooled = cnn.avg_pool_global(out)
+    else:
+        cnt = jnp.asarray(vhw[0] * vhw[1], jnp.float32)
+        pooled = (jnp.sum(out, axis=(1, 2), dtype=jnp.float32) /
+                  cnt).astype(out.dtype)
     feats['pooled'] = pooled
     if features:
         return feats, new_stats

@@ -79,6 +79,30 @@ def test_eval_dense_depth_perfect_when_aligned():
     assert out['d1'] == 1.0
 
 
+def test_eval_dense_depth_saves_debug_artifacts(tmp_path):
+    """save_dir writes the reference's per-image artifacts: depth
+    histogram, pred/gt disparity and rgb imsaves
+    (test_disp_KITTI.py:205-231)."""
+    import os
+    gt = np.full((352 + 10, 1216 + 8), 5.0, np.float32)
+
+    def read_gt(name):
+        return gt
+
+    def fwd(x):
+        return np.full((x.shape[0], 352, 1216), 0.7, np.float32)
+
+    out = D.eval_dense_depth(fwd, FakeKITTIReader(1), 'kitti',
+                             read_gt_depth=read_gt, log=lambda *a: None,
+                             save_dir=str(tmp_path))
+    assert out['n'] == 1
+    assert os.path.exists(tmp_path / 'distribution' / 'depth' / 'img0.png')
+    # pred_disp filename carries the d1 percentage (here 100.00)
+    assert os.path.exists(tmp_path / 'pred_disp' / 'img0_100.00.png')
+    assert os.path.exists(tmp_path / 'gt_disp' / 'img0.png')
+    assert os.path.exists(tmp_path / 'rgb' / 'img0.png')
+
+
 def test_eval_dense_depth_missing_gt():
     def read_gt(name):
         return None

@@ -104,6 +104,54 @@ def test_orig_mode():
     assert got.shape == (4, 4)
 
 
+def test_valid_hw_padded_forward_equals_exact():
+    """resnet.apply(valid_hw): zero-padding to a bucket + the static
+    valid region must reproduce the exact-size logits (the masked pad
+    region behaves exactly like the convs' implicit zero padding)."""
+    for arch in ('resnet50', 'resnet18'):
+        params, stats, cfg = resnet.init(
+            jax.random.PRNGKey(11), arch=arch, in_channels=5,
+            num_classes=2, layers_override=(1, 1, 1, 1))
+        x = np.random.RandomState(0).randn(2, 64, 96, 5).astype(np.float32)
+        want, _ = resnet.apply(params, stats, cfg, jnp.asarray(x),
+                               train=False)
+        xp = np.zeros((2, 128, 128, 5), np.float32)
+        xp[:, :64, :96] = x
+        got, _ = resnet.apply(params, stats, cfg, jnp.asarray(xp),
+                              train=False, valid_hw=(64, 96))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=arch)
+
+
+def test_orig_mode_bucketed_compile_reuse():
+    """Two images whose x32-rounded sizes differ must reuse ONE compiled
+    forward (padded to the shared (128, 128) bucket) and produce the
+    same matrices as the exact-size (per-size-compile) fallback
+    (VERDICT r2 item 5; reference inference.py:401-408)."""
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(3), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    pred = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_o', 'orig', input_size=None)
+    assert pred._takes_valid_hw
+
+    # exact-size fallback: an apply_fn without valid_hw support
+    def apply_no_vhw(p, s, c, x, train=False):
+        return resnet.apply(p, s, c, x, train=train)
+    pred_exact = OrderPredictor(apply_no_vhw, cfg, params, stats,
+                                'InstaOrderNet_o', 'orig', input_size=None)
+    assert not pred_exact._takes_valid_hw
+
+    scenes = [scene(2, h=100, w=130),   # -> (96, 128)
+              scene(5, h=60, w=100)]    # -> (64, 96)
+    for image, masks, bboxes in scenes:
+        got = pred.infer_occ_order(image, masks, bboxes)
+        want = pred_exact.infer_occ_order(image, masks, bboxes)
+        np.testing.assert_array_equal(got, want)
+    assert pred._forward._cache_size() == 1, pred._forward._cache_size()
+    assert pred_exact._forward._cache_size() == 2
+
+
 def test_pair_sharded_predictor_matches_single():
     """OrderPredictor with a data mesh: pair-sharded forward must produce
     identical matrices."""
@@ -153,6 +201,30 @@ def test_disparity_order_predictor_gradient():
     masks[1, 70:95, 10:60] = 1   # bottom -> farther
     m = pred.infer_depth_order(image, masks)
     assert m[0, 1] == 1 and m[1, 0] == 0  # 0 closer than 1
+
+
+def test_disparity_predictor_return_disp():
+    """return_disp yields the [q05, q95]-clipped disparity (reference
+    infer_order_sup_depth second return, inference.py:588,624)."""
+    from instaorder_tpu.eval.pipeline import DisparityOrderPredictor
+
+    def fwd(x):
+        h = w = x.shape[1]
+        gy = np.linspace(1.0, 0.1, h, dtype=np.float32)
+        return np.tile(gy[None, :, None], (x.shape[0], 1, w))
+
+    pred = DisparityOrderPredictor(fwd, 'median', input_size=64)
+    image = np.zeros((100, 100, 3), np.float32)
+    masks = np.zeros((2, 100, 100), np.float32)
+    masks[0, 5:25, 10:60] = 1
+    masks[1, 70:95, 10:60] = 1
+    m, disp = pred.infer_depth_order(image, masks, return_disp=True)
+    m2 = pred.infer_depth_order(image, masks)
+    np.testing.assert_array_equal(m, m2)
+    assert disp.shape == (64, 64)
+    raw = fwd(np.zeros((1, 64, 64, 3)))[0]
+    lo, hi = np.quantile(raw, 0.05), np.quantile(raw, 0.95)
+    np.testing.assert_allclose(disp, np.clip(raw, lo, hi), atol=1e-6)
 
 
 def test_int8_predictor_agrees_with_f32():

@@ -125,6 +125,28 @@ def test_tester_runs_occ(fixture, tmp_path):
     assert np.isfinite(out['f1'])
 
 
+def test_tester_disp_png_dump(fixture, tmp_path):
+    """_dump_pngs(disp=...) writes the clipped-disparity artifact
+    (reference tools/test.py:366-371) bicubic-upsampled to image size."""
+    from instaorder_tpu.eval.tester import Tester
+
+    args = make_args(fixture)
+    args.order_method = 'area'
+    args.out_dir = str(tmp_path / 'pngs')
+    tester = Tester(args)
+    image = np.zeros((48, 64, 3), np.uint8)
+    modal = np.zeros((2, 48, 64), np.uint8)
+    modal[0, 4:20, 4:30] = 1
+    modal[1, 24:44, 30:60] = 1
+    pred = np.array([[0, 1], [0, 0]])
+    gt = np.array([[0, 1], [0, 0]])
+    disp = np.linspace(0, 1, 32 * 32, dtype=np.float32).reshape(32, 32)
+    tester._dump_pngs('scene.png', image, modal, pred_depth=pred,
+                      gt_depth=gt, gt_overlap=np.zeros((2, 2), int),
+                      disp=disp)
+    assert os.path.exists(os.path.join(args.out_dir, 'disp', 'scene.png'))
+
+
 def test_tester_heuristics(fixture):
     from instaorder_tpu.eval.tester import Tester
 

@@ -66,21 +66,26 @@ def build_megastep(args):
         return jax.vmap(prep)(images, masks, bboxes).reshape(
             -1, 256, 256, 5)
 
-    if args.dtype == 'int8':
+    if args.dtype in ('int8', 'int8c'):
         from instaorder_tpu.models import quantize as Q
         import numpy as _np
         calib = _np.asarray(jax.jit(prep_all)(
             images, jnp.asarray(masks), jnp.asarray(bboxes)),
             _np.float32)
         scales = Q.calibrate_folded_resnet(folded_f32, cfg, [calib])
-        qp = Q.quantize_folded_resnet(folded_f32, cfg, scales)
+        if args.dtype == 'int8':     # v2: boundary storage, bf16 compute
+            qp = Q.quantize_folded_v2(folded_f32, cfg, scales)
+            sia = lambda qp, x: Q.apply_folded_v2_siamese(
+                qp, cfg, x, use_pallas=pallas, stem_chunks=1)
+        else:                        # full int8 compute (round 2)
+            qp = Q.quantize_folded_resnet(folded_f32, cfg, scales)
+            sia = lambda qp, x: Q.apply_folded_int8_siamese(
+                qp, cfg, x, use_pallas=pallas, stem_chunks=4)
 
         @jax.jit
         def megastep(qp, images, masks, bboxes):
             x = prep_all(images, masks, bboxes)
-            o1, o2 = Q.apply_folded_int8_siamese(qp, cfg, x,
-                                                 use_pallas=pallas,
-                                                 stem_chunks=4)
+            o1, o2 = sia(qp, x)
             s1, s2 = jax.nn.sigmoid(o1), jax.nn.sigmoid(o2)
             return ((s1[:, 1] + s2[:, 0]) / 2 > .5,
                     (s1[:, 0] + s2[:, 1]) / 2 > .5)
@@ -137,10 +142,14 @@ def main():
     ap.add_argument('--pairs', type=int, default=540)
     ap.add_argument('--pallas-features', default=None)
     ap.add_argument('--dtype', default='bf16',
-                    choices=['bf16', 'int8'])
+                    choices=['bf16', 'int8', 'int8c'])
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--out', default='/tmp/instaorder_trace')
     args = ap.parse_args()
+
+    import shutil
+    if os.path.isdir(args.out):
+        shutil.rmtree(args.out)   # stale sessions would mix into the rollup
 
     import jax
     megastep, inputs = build_megastep(args)
