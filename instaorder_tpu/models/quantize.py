@@ -385,27 +385,40 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     assert cfg['block'] == 'bottleneck' and groups == 1, \
         'v2 path targets the resnet50 family'
     cdt = q['conv1']['w'].dtype
-    for li in range(4):
-        for bi, qb in enumerate(q[f'layer{li + 1}']):
-            stride = 2 if (li > 0 and bi == 0) else 1
-            if ('down' not in qb and stride == 1 and 'identity' in feats
-                    and qb['conv1']['w'].shape[2] <= cap):
-                h8 = _pb.fused_bottleneck_i8v2(
-                    h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
-                    qb['conv2']['w'], qb['conv2']['b'],
-                    qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
-                    bt_budget=bt_budget)
-                continue
-            xb = h8.astype(cdt)
-            h = jnp.maximum(cnn.conv2d(qb['conv1'], xb), 0.0).astype(cdt)
-            h = jnp.maximum(cnn.conv2d(qb['conv2'], h, stride=stride,
-                                       padding=1), 0.0).astype(cdt)
-            y = cnn.conv2d(qb['conv3'], h)
-            if 'down' in qb:
-                iden = cnn.conv2d(qb['down'], xb, stride=stride)
-            else:
-                iden = xb.astype(jnp.float32) * qb['r']
-            h8 = _q8(y + iden)
+
+    blocks = [(li, bi, qb) for li in range(4)
+              for bi, qb in enumerate(q[f'layer{li + 1}'])]
+
+    def _kernel_ok(li, bi, qb):
+        stride = 2 if (li > 0 and bi == 0) else 1
+        return ('down' not in qb and stride == 1 and 'identity' in feats
+                and qb['conv1']['w'].shape[2] <= cap)
+
+    ok = [_kernel_ok(*b) for b in blocks]
+    for k, (li, bi, qb) in enumerate(blocks):
+        stride = 2 if (li > 0 and bi == 0) else 1
+        # store int8 at boundaries that cross into XLA; between two
+        # consecutive pallas kernels keep the SAME quantized integer
+        # values in the compute dtype (0..127 exact in bf16) — the math
+        # is identical, only the packed-s8 sublane conversions go away
+        out_i8 = not (ok[k] and k + 1 < len(ok) and ok[k + 1])
+        if ok[k]:
+            h8 = _pb.fused_bottleneck_i8v2(
+                h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                qb['conv2']['w'], qb['conv2']['b'],
+                qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
+                bt_budget=bt_budget, out_int8=out_i8)
+            continue
+        xb = h8.astype(cdt)
+        h = jnp.maximum(cnn.conv2d(qb['conv1'], xb), 0.0).astype(cdt)
+        h = jnp.maximum(cnn.conv2d(qb['conv2'], h, stride=stride,
+                                   padding=1), 0.0).astype(cdt)
+        y = cnn.conv2d(qb['conv3'], h)
+        if 'down' in qb:
+            iden = cnn.conv2d(qb['down'], xb, stride=stride)
+        else:
+            iden = xb.astype(jnp.float32) * qb['r']
+        h8 = _q8(y + iden)
     feat = h8.astype(jnp.float32) * q['s_feat']
     pooled = jnp.mean(feat, axis=(1, 2))
     if cfg['dual_head']:

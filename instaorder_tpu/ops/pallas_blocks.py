@@ -409,10 +409,13 @@ def _bottleneck_i8v2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     compute dtype (weights' dtype), the whole block runs exactly like
     the bf16 kernel, and one round/clip/cast quantizes the output tile.
 
-    x int8 (B, H, W, Cin); w1 (Cin, Cm) compute-dtype with the input
+    x (B, H, W, Cin) int8 OR float carrying the same quantized integer
+    values (0..127 are exact in bf16, so storage dtype does not change
+    the math — float I/O between consecutive kernels skips the packed-s8
+    sublane conversions); w1 (Cin, Cm) compute-dtype with the input
     scale s_in folded in; w2 (3,3,Cm,Cm); w3 (Cm, Cin) with 1/s_out
     folded; b* f32 (b3 pre-divided by s_out); r (1,1) f32 = s_in/s_out
-    for the residual. Returns int8 (B, H, W, Cin).
+    for the residual. Output dtype follows out_ref (int8 or compute).
     See models/quantize.py:quantize_folded_v2 for the scale algebra.
     """
     B, H, W, Cin = x_ref.shape
@@ -436,18 +439,22 @@ def _bottleneck_i8v2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 
     out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
     out = out + b3_ref[:] + x2d.astype(jnp.float32) * r_ref[0, 0]
-    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0, 127
-                          ).astype(jnp.int8).reshape(B, H, W, Cin)
+    q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+    out_ref[:] = q.astype(out_ref.dtype).reshape(B, H, W, Cin)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('interpret', 'batch_tile', 'bt_budget'))
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'out_int8'))
 def fused_bottleneck_i8v2(x, w1, b1, w2, b2, w3, b3, r, interpret=False,
-                          batch_tile=None, bt_budget=None):
-    """Boundary-int8 stride-1 identity bottleneck (int8 I/O, float
-    compute — see _bottleneck_i8v2_kernel). x int8 (N, H, W, Cin);
-    w1 (Cin, Cm) / w2 (3,3,Cm,Cm) / w3 (Cm, Cin) in the compute dtype
-    (bf16 serving, f32 tests); b* f32; r f32 scalar."""
+                          batch_tile=None, bt_budget=None, out_int8=True):
+    """Boundary-int8 stride-1 identity bottleneck (quantized-value I/O,
+    float compute — see _bottleneck_i8v2_kernel). x (N, H, W, Cin) int8
+    or compute-dtype with quantized integer values; w1 (Cin, Cm) /
+    w2 (3,3,Cm,Cm) / w3 (Cm, Cin) in the compute dtype (bf16 serving,
+    f32 tests); b* f32; r f32 scalar. out_int8=False stores the output
+    in the compute dtype (same integer values, no s8 repacking) for
+    kernel-to-kernel hops."""
     N, H, W, Cin = x.shape
     Cm = w1.shape[1]
     if batch_tile is None:
@@ -474,7 +481,8 @@ def fused_bottleneck_i8v2(x, w1, b1, w2, b2, w3, b3, r, interpret=False,
         ],
         out_specs=pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
+        out_shape=jax.ShapeDtypeStruct(
+            x.shape, jnp.int8 if out_int8 else w1.dtype),
         scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), w1.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

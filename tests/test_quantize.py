@@ -185,6 +185,35 @@ def test_pallas_i8v2_kernel_matches_xla_block(v2_net):
     assert (diff > 0).mean() < 0.01
 
 
+def test_i8v2_kernel_float_io_same_values(v2_net):
+    """out_int8=False stores the SAME quantized integers in the compute
+    dtype (kernel-to-kernel hop), and float input reproduces the int8
+    input's results bit-for-bit."""
+    folded, cfg, qv2, xs = v2_net
+    from instaorder_tpu.ops.pallas_blocks import fused_bottleneck_i8v2
+    h8 = Q._stem_v2(qv2, jnp.asarray(xs[0]))
+    qb0 = qv2['layer1'][0]
+    xb = h8.astype(jnp.float32)
+    h = jnp.maximum(Q.cnn.conv2d(qb0['conv1'], xb), 0.0)
+    h = jnp.maximum(Q.cnn.conv2d(qb0['conv2'], h, padding=1), 0.0)
+    blk_in = Q._q8(Q.cnn.conv2d(qb0['conv3'], h) +
+                   Q.cnn.conv2d(qb0['down'], xb))
+    qb = qv2['layer1'][1]
+    args = (qb['conv1']['w'][0, 0], qb['conv1']['b'], qb['conv2']['w'],
+            qb['conv2']['b'], qb['conv3']['w'][0, 0], qb['conv3']['b'],
+            qb['r'])
+    got_i8 = np.asarray(fused_bottleneck_i8v2(
+        blk_in, *args, interpret=True, batch_tile=1))
+    got_f = np.asarray(fused_bottleneck_i8v2(
+        blk_in, *args, interpret=True, batch_tile=1, out_int8=False))
+    assert got_f.dtype == np.float32
+    np.testing.assert_array_equal(got_f.astype(np.int8), got_i8)
+    # float (integer-valued) input == int8 input
+    got_f_in = np.asarray(fused_bottleneck_i8v2(
+        blk_in.astype(jnp.float32), *args, interpret=True, batch_tile=1))
+    np.testing.assert_array_equal(got_f_in, got_i8)
+
+
 def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     folded, cfg, qv2, xs = v2_net
     from instaorder_tpu.ops import pallas_blocks
