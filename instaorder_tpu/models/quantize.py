@@ -354,13 +354,17 @@ def _q8(y):
 
 
 def _stem_v2(q, x, chunks=1):
-    """Compute-dtype stem conv (1/s_stem folded) -> int8 requant BEFORE
-    the maxpool (monotone, commutes) -> int8 pool output."""
+    """Compute-dtype stem conv (1/s_stem folded) -> maxpool -> int8
+    requant AFTER the pool (round/clip/relu and max-pool are monotone
+    and commute, so this equals quantize-then-pool up to the compute-
+    dtype cast; the quantize pass then runs on the 4x smaller pooled
+    tensor instead of the 128^2 conv output)."""
     cdt = q['conv1']['w'].dtype
 
     def stem(xc):
         h = cnn.conv2d(q['conv1'], xc.astype(cdt), stride=2, padding=3)
-        return cnn.max_pool(_q8(h), 3, 2, 1)
+        h = jnp.maximum(h, 0.0).astype(cdt)
+        return _q8(cnn.max_pool(h, 3, 2, 1))
     n = x.shape[0]
     while chunks > 1 and n % chunks:
         chunks -= 1
@@ -391,8 +395,11 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
 
     def _kernel_ok(li, bi, qb):
         stride = 2 if (li > 0 and bi == 0) else 1
-        return ('down' not in qb and stride == 1 and 'identity' in feats
-                and qb['conv1']['w'].shape[2] <= cap)
+        if stride != 1 or qb['conv1']['w'].shape[2] > cap:
+            return False
+        if 'down' in qb:
+            return 'down1' in feats   # stride-1 projection (layer1[0])
+        return 'identity' in feats
 
     ok = [_kernel_ok(*b) for b in blocks]
     for k, (li, bi, qb) in enumerate(blocks):
@@ -402,6 +409,14 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         # values in the compute dtype (0..127 exact in bf16) — the math
         # is identical, only the packed-s8 sublane conversions go away
         out_i8 = not (ok[k] and k + 1 < len(ok) and ok[k + 1])
+        if ok[k] and 'down' in qb:
+            h8 = _pb.fused_bottleneck_down_i8v2(
+                h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                qb['conv2']['w'], qb['conv2']['b'],
+                qb['conv3']['w'][0, 0], qb['conv3']['b'],
+                qb['down']['w'][0, 0], qb['down']['b'],
+                bt_budget=bt_budget, out_int8=out_i8)
+            continue
         if ok[k]:
             h8 = _pb.fused_bottleneck_i8v2(
                 h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],

@@ -491,6 +491,81 @@ def fused_bottleneck_i8v2(x, w1, b1, w2, b2, w3, b3, r, interpret=False,
       b3.astype(jnp.float32), jnp.asarray(r, jnp.float32).reshape(1, 1))
 
 
+def _bottleneck_down_i8v2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                                 w3_ref, b3_ref, wd_ref, bd_ref, out_ref,
+                                 h1p_ref):
+    """Boundary-int8 stride-1 projection bottleneck (ResNet-50
+    layer1[0]): quantized-value I/O, float compute — the v2 analogue of
+    _bottleneck_down_kernel. Scale algebra per
+    models/quantize.py:quantize_folded_v2 ('down' entry: w *=
+    s_in/s_out, b /= s_out)."""
+    B, H, W, Cin = x_ref.shape
+    Cout = out_ref.shape[-1]
+    Cm = w1_ref.shape[1]
+    cdt = w1_ref.dtype
+
+    x2d = x_ref[:].reshape(B * H * W, Cin).astype(cdt)
+    h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
+
+    cols = jnp.concatenate(
+        [h1p_ref[:, dy:dy + H, dx:dx + W, :].reshape(B * H * W, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                  preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+    out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    iden = jnp.dot(x2d, wd_ref[:], preferred_element_type=jnp.float32)
+    out = out + b3_ref[:] + iden + bd_ref[:]
+    q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+    out_ref[:] = q.astype(out_ref.dtype).reshape(B, H, W, Cout)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'out_int8'))
+def fused_bottleneck_down_i8v2(x, w1, b1, w2, b2, w3, b3, wd, bd,
+                               interpret=False, batch_tile=None,
+                               bt_budget=None, out_int8=True):
+    """v2 stride-1 projection bottleneck: x (N, H, W, Cin) int8 or
+    quantized-value float; weights compute-dtype with boundary scales
+    folded (quantize_folded_v2); wd/bd the 1x1 projection. Returns
+    (N, H, W, Cout) int8 or compute-dtype."""
+    N, H, W, Cin = x.shape
+    Cm = w1.shape[1]
+    Cout = w3.shape[1]
+    if batch_tile is None:
+        per_img = H * W * max(Cin, Cout) * 2
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = max(1, min(8, budget // max(per_img, 1)))
+        while N % batch_tile:
+            batch_tile -= 1
+    B = batch_tile
+    assert N % B == 0, (N, B)
+
+    return pl.pallas_call(
+        _bottleneck_down_i8v2_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((B, H, W, Cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((B, H, W, Cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, H, W, Cout), jnp.int8 if out_int8 else w1.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H + 2, W + 2, Cm), w1.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32), wd, bd.astype(jnp.float32))
+
+
 def stem_reference(x, w, b):
     """XLA reference stem for parity tests."""
     from ..core import nn as cnn

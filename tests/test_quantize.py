@@ -214,6 +214,35 @@ def test_i8v2_kernel_float_io_same_values(v2_net):
     np.testing.assert_array_equal(got_f_in, got_i8)
 
 
+def test_v2_down1_kernel_matches_xla_block(v2_net):
+    """fused_bottleneck_down_i8v2 (stride-1 projection, layer1[0]) vs
+    the XLA v2 path — <=1 LSB round ties only."""
+    folded, cfg, qv2, xs = v2_net
+    from instaorder_tpu.ops.pallas_blocks import fused_bottleneck_down_i8v2
+    h8 = Q._stem_v2(qv2, jnp.asarray(xs[0]))
+    qb = qv2['layer1'][0]
+    xb = h8.astype(jnp.float32)
+    h = jnp.maximum(Q.cnn.conv2d(qb['conv1'], xb), 0.0)
+    h = jnp.maximum(Q.cnn.conv2d(qb['conv2'], h, padding=1), 0.0)
+    want = np.asarray(Q._q8(Q.cnn.conv2d(qb['conv3'], h) +
+                            Q.cnn.conv2d(qb['down'], xb)), np.int32)
+    got = np.asarray(fused_bottleneck_down_i8v2(
+        h8, qb['conv1']['w'][0, 0], qb['conv1']['b'], qb['conv2']['w'],
+        qb['conv2']['b'], qb['conv3']['w'][0, 0], qb['conv3']['b'],
+        qb['down']['w'][0, 0], qb['down']['b'],
+        interpret=True, batch_tile=1), np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
+    # float-output variant carries the same integers
+    got_f = np.asarray(fused_bottleneck_down_i8v2(
+        h8, qb['conv1']['w'][0, 0], qb['conv1']['b'], qb['conv2']['w'],
+        qb['conv2']['b'], qb['conv3']['w'][0, 0], qb['conv3']['b'],
+        qb['down']['w'][0, 0], qb['down']['b'],
+        interpret=True, batch_tile=1, out_int8=False))
+    np.testing.assert_array_equal(got_f.astype(np.int32), got)
+
+
 def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     folded, cfg, qv2, xs = v2_net
     from instaorder_tpu.ops import pallas_blocks
@@ -221,16 +250,24 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     x = jnp.asarray(xs[1])
     want = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=False))
 
-    orig = pallas_blocks.fused_bottleneck_i8v2
-    pallas_blocks.fused_bottleneck_i8v2 = (
-        lambda *a, **kw: orig(*a, **dict(kw, interpret=True)))
+    names = ('fused_bottleneck_i8v2', 'fused_bottleneck_down_i8v2')
+    origs = {n: getattr(pallas_blocks, n) for n in names}
+    for n in names:
+        setattr(pallas_blocks, n,
+                (lambda o: lambda *a, **kw: o(*a, **dict(kw,
+                                                         interpret=True)))(
+                    origs[n]))
     try:
         got = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=True))
+        got_d1 = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('identity', 'down1')))
     finally:
-        pallas_blocks.fused_bottleneck_i8v2 = orig
+        for n in names:
+            setattr(pallas_blocks, n, origs[n])
     # boundary round() ties may flip 1 LSB; heads smooth that to <<1%
     scale = max(np.abs(want).max(), 1e-6)
     assert np.abs(got - want).max() / scale < 0.02
+    assert np.abs(got_d1 - want).max() / scale < 0.02
 
 
 def test_v2_siamese_swap_fold(v2_net):
