@@ -298,6 +298,31 @@ def make_int8_predictor(params, stats, cfg, method, calib_batches,
     return OrderPredictor(apply_fn, cfg, qp, stats, method, **kw)
 
 
+def make_v2_predictor(params, stats, cfg, method, calib_batches,
+                      use_pallas=True, compute_dtype=None, **kw):
+    """Boundary-int8 v2 OrderPredictor (models/quantize.py
+    quantize_folded_v2): BN-fold, calibrate boundary scales on
+    `calib_batches`, then serve with int8 HBM storage at block
+    boundaries and bf16 compute inside blocks — measured FASTER than
+    the bf16 path (PERFORMANCE.md round 3) with quantization error
+    limited to one round/clip per boundary. Decisions may flip on
+    threshold-adjacent pairs; tests/test_eval_pipeline.py measures the
+    agreement vs the f32 predictor on synthetic data."""
+    import jax.numpy as jnp
+    from ..models.folding import fold_resnet
+    from ..models import quantize as Q
+
+    cdt = jnp.bfloat16 if compute_dtype is None else compute_dtype
+    folded = fold_resnet(params, stats, cfg)
+    scales = Q.calibrate_folded_resnet(folded, cfg, calib_batches)
+    qp = Q.quantize_folded_v2(folded, cfg, scales, compute_dtype=cdt)
+
+    def apply_fn(p, s, c, x, train=False):
+        return Q.apply_folded_v2(p, c, x, use_pallas=use_pallas), s
+
+    return OrderPredictor(apply_fn, cfg, qp, stats, method, **kw)
+
+
 class DisparityOrderPredictor:
     """Depth-order from a disparity map (reference net_forward_midas_
     pretrained + the disp_select_method branch of infer_order_sup_depth,

@@ -235,7 +235,7 @@ def _stage_stream_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 
     cur = act_ref[:].reshape(B * H * W, Cin)
     h1 = jnp.dot(cur, w1_ref[0], preferred_element_type=jnp.float32)
-    h1 = jnp.maximum(h1 + b1_ref[0], 0.0).astype(cur.dtype)
+    h1 = jnp.maximum(h1 + b1_ref[k], 0.0).astype(cur.dtype)
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
     h1p_ref[:, 1:H + 1, 1:W + 1, :] = h1.reshape(B, H, W, Cm)
     cols = jnp.concatenate(
@@ -243,9 +243,9 @@ def _stage_stream_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
          for dy in range(3) for dx in range(3)], axis=1)
     acc = jnp.dot(cols, w2_ref[0].reshape(9 * Cm, Cm),
                   preferred_element_type=jnp.float32)
-    h2 = jnp.maximum(acc + b2_ref[0], 0.0).astype(cur.dtype)
+    h2 = jnp.maximum(acc + b2_ref[k], 0.0).astype(cur.dtype)
     out = jnp.dot(h2, w3_ref[0], preferred_element_type=jnp.float32)
-    out = out + b3_ref[0] + cur.astype(jnp.float32)
+    out = out + b3_ref[k] + cur.astype(jnp.float32)
     new = jnp.maximum(out, 0.0).astype(cur.dtype).reshape(B, H, W, Cin)
     act_ref[:] = new
 
@@ -283,18 +283,19 @@ def fused_bottleneck_stage_stream(x, w1, b1, w2, b2, w3, b3,
         in_specs=[
             pl.BlockSpec((B, H, W, Cin), lambda n, k: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            # weights stream per k (leading-axis blocks: last two dims
+            # match the array, so the (8, 128) block rule is satisfied);
+            # the tiny (K, C) biases stay fully resident — a (1, C)
+            # block would violate the sublane-divisibility rule
             pl.BlockSpec((1, Cin, Cm), lambda n, k: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cm), lambda n, k: (k, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 3, Cm, Cm), lambda n, k: (k, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cm), lambda n, k: (k, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cm, Cin), lambda n, k: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin), lambda n, k: (k, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, H, W, Cin), lambda n, k: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -254,6 +254,34 @@ def test_int8_predictor_agrees_with_f32():
     assert (m1 == m2).mean() >= 0.9, (m1, m2)
 
 
+def test_v2_predictor_agrees_with_f32():
+    """make_v2_predictor (boundary-int8 storage, float compute): matrix
+    agreement vs the f32 predictor — strictly less quantization noise
+    than the fully-int8 predictor, so hold it to a tighter bar."""
+    from instaorder_tpu.eval.pipeline import (make_folded_predictor,
+                                              make_v2_predictor)
+    from instaorder_tpu.ops.pairs import (all_pair_indices,
+                                          build_pair_batch)
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(13), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(6)
+    pair_idx, _ = all_pair_indices(6)
+    calib = np.asarray(build_pair_batch(image, masks, bboxes,
+                                        jnp.asarray(pair_idx),
+                                        out_size=64, rgb_method='cubic'),
+                       np.float32)
+    f32 = make_folded_predictor(params, stats, cfg, 'InstaOrderNet_o',
+                                patch_or_image='patch', input_size=64)
+    q = make_v2_predictor(params, stats, cfg, 'InstaOrderNet_o',
+                          [calib], use_pallas=False,
+                          compute_dtype=jnp.float32,
+                          patch_or_image='patch', input_size=64)
+    m1 = f32.infer_occ_order(image, masks, bboxes)
+    m2 = q.infer_occ_order(image, masks, bboxes)
+    assert (m1 == m2).mean() >= 0.95, (m1, m2)
+
+
 def test_single_direction_mode():
     """OrderPredictor(directions=1): one forward per pair (serving speed
     knob). On the layered synthetic scene (clear margins) the decisions
