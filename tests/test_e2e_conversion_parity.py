@@ -157,74 +157,120 @@ def test_converted_checkpoint_matches_torch_tester(tmp_path):
     np.testing.assert_allclose(np.mean(ours_f1s), want[:, 2].mean(), atol=0)
 
 
+def _symmetrize_swap_equivariant(sd):
+    """Make a TorchResNetCls state_dict EXACTLY swap-equivariant:
+    f(swap(x)) == f(x)[::-1]. Mask-channel swap pi_in = (1 0 2 3 4) maps
+    to a feature-channel involution pi_f (swap halves) propagated
+    through every layer; averaging each tensor with its permuted image
+    enforces w[pi(i), o] == w[i, pi(o)]. This is the structure swap
+    augmentation teaches a trained net (supervised_order.py:48,459-463);
+    on it the directions=1 knob is lossless by construction."""
+    import torch as T
+
+    def pf(n):
+        h = n // 2
+        return list(range(h, n)) + list(range(h))
+
+    out = {}
+    for k, v in sd.items():
+        t = v.clone()
+        if k == 'conv1.weight':                       # (O, I, kh, kw)
+            pin = [1, 0, 2, 3, 4]
+            t = (t + t[pf(t.shape[0])][:, pin]) / 2
+        elif k.startswith('fc.'):
+            if k.endswith('weight'):                  # (2, C)
+                t = (t + t[[1, 0]][:, pf(t.shape[1])]) / 2
+            else:                                     # (2,)
+                t = (t + t[[1, 0]]) / 2
+        elif t.dim() == 4:                            # conv (O, I, kh, kw)
+            t = (t + t[pf(t.shape[0])][:, pf(t.shape[1])]) / 2
+        elif t.dim() == 1:                            # bn / bias (C,)
+            t = (t + t[pf(t.shape[0])]) / 2
+        out[k] = t
+    return out
+
+
 def test_directions1_delta_vs_ensemble(tmp_path, capsys):
     """Quantify the directions=1 serving knob against the reference-
     parity swap ensemble (VERDICT r2 item 4) on the converted-checkpoint
     fixture: matrix disagreement rate and R/P/F1 delta.
 
-    NB a random-weight net has NO swap consistency (training with the
-    swap-label-permute augmentation is what teaches f(swap(x)) ~
-    f(x)[:, ::-1]), so the disagreement measured here is a pessimistic
-    ceiling; the trained-net measurement lives in
-    tools/measure_directions_delta.py and README 'Serving knobs'. The
-    bench and the parity evals keep the ensemble default."""
+    Two nets are measured: (a) an exactly swap-equivariant net (the
+    consistency swap augmentation trains toward) — the knob must be
+    LOSSLESS there; (b) an unconstrained random net — the pessimistic
+    ceiling, printed as a diagnostic only (random weights have no swap
+    consistency; a trained run measured 4.38% disagreement / -0.10 F1,
+    tools/measure_directions_delta.py + README 'Serving knobs')."""
     import jax
     from instaorder_tpu.compat.torch_convert import convert_checkpoint
     from instaorder_tpu.models import resnet
     from instaorder_tpu.eval.pipeline import OrderPredictor
 
+    torch.manual_seed(0)
     tm = TorchResNetCls(layers=(1, 1, 1, 1), in_channels=5, num_classes=2)
     with torch.no_grad():
         tm.fc.weight.mul_(4.0)  # polarise away from the threshold
     tm.eval()
-    pth = str(tmp_path / 'ckpt.pth.tar')
-    torch.save({'step': 1, 'state_dict': {
-        f'module.{k}': v for k, v in tm.state_dict().items()}}, pth)
 
     root = str(tmp_path / 'fix')
     os.makedirs(root)
     insta, _, img_dir = make_instaorder_fixture(root)
     reader = R.InstaOrderReader(insta)
+    from PIL import Image
 
     _, _, cfg = resnet.init(jax.random.PRNGKey(0), arch='resnet50',
                             in_channels=5, num_classes=2,
                             layers_override=(1, 1, 1, 1))
-    params, stats, _ = convert_checkpoint(pth, cfg, 'resnet')
 
-    preds = {d: OrderPredictor(resnet.apply, cfg, params, stats,
-                               'InstaOrderNet_o', patch_or_image='patch',
-                               input_size=64, directions=d)
-             for d in (1, 2)}
+    def measure(sd, tag):
+        pth = str(tmp_path / f'ckpt_{tag}.pth.tar')
+        torch.save({'step': 1, 'state_dict': {
+            f'module.{k}': v for k, v in sd.items()}}, pth)
+        params, stats, _ = convert_checkpoint(pth, cfg, 'resnet')
+        preds = {d: OrderPredictor(resnet.apply, cfg, params, stats,
+                                   'InstaOrderNet_o',
+                                   patch_or_image='patch',
+                                   input_size=64, directions=d)
+                 for d in (1, 2)}
+        disagree = total = 0
+        rpf = {1: [], 2: []}
+        for idx in range(reader.get_image_length()):
+            modal, cat, bboxes, amodal, fn = reader.get_image_instances(
+                idx, with_gt=True)[:5]
+            image = np.array(Image.open(os.path.join(img_dir, fn))
+                             .convert('RGB')).astype(np.float32)
+            ebb = expand_bbox(bboxes, 3.0).astype(np.float32)
+            gt = reader.get_gt_ordering(idx, 'occlusion', 0)
+            mats = {}
+            for d, pred in preds.items():
+                mats[d] = pred.infer_occ_order(
+                    image, modal.astype(np.float32), ebb)
+                rpf[d].append(
+                    eval_order_recall_precision_f1(mats[d], gt, 0))
+            n = modal.shape[0]
+            off = ~np.eye(n, dtype=bool)
+            disagree += int((mats[1][off] != mats[2][off]).sum())
+            total += int(off.sum())
+        rate = disagree / max(total, 1)
+        m1 = np.mean(np.array(rpf[1]), axis=0)
+        m2 = np.mean(np.array(rpf[2]), axis=0)
+        print(f'[directions delta/{tag}] '
+              f'disagreement={100 * rate:.2f}% ({disagree}/{total}); '
+              f'd2 F1={m2[2]:.2f} d1 F1={m1[2]:.2f} '
+              f'dF1={m1[2] - m2[2]:+.2f}')
+        return rate, m1, m2
 
-    from PIL import Image
-    disagree = total = 0
-    rpf = {1: [], 2: []}
-    for idx in range(reader.get_image_length()):
-        modal, cat, bboxes, amodal, fn = reader.get_image_instances(
-            idx, with_gt=True)[:5]
-        image = np.array(Image.open(os.path.join(img_dir, fn))
-                         .convert('RGB')).astype(np.float32)
-        ebb = expand_bbox(bboxes, 3.0).astype(np.float32)
-        gt = reader.get_gt_ordering(idx, 'occlusion', 0)
-        mats = {}
-        for d, pred in preds.items():
-            mats[d] = pred.infer_occ_order(image,
-                                           modal.astype(np.float32), ebb)
-            rpf[d].append(eval_order_recall_precision_f1(mats[d], gt, 0))
-        n = modal.shape[0]
-        off = ~np.eye(n, dtype=bool)
-        disagree += int((mats[1][off] != mats[2][off]).sum())
-        total += int(off.sum())
+    # (a) swap-equivariant: the knob is lossless by construction.
+    # Push the (class-symmetric) fc bias up so the net actually makes
+    # positive predictions — a constant added to both logits preserves
+    # the equivariance, so agreement is tested on non-trivial matrices.
+    sd_eq = _symmetrize_swap_equivariant(tm.state_dict())
+    sd_eq['fc.bias'] = sd_eq['fc.bias'] + 1.0
+    rate, m1, m2 = measure(sd_eq, 'equivariant')
+    assert m1[2] > 0, 'equivariant net must predict some positives'
+    assert rate <= 0.02, rate
+    np.testing.assert_allclose(m1, m2, atol=1e-6)
 
-    rate = disagree / max(total, 1)
-    m1 = np.mean(np.array(rpf[1]), axis=0)
-    m2 = np.mean(np.array(rpf[2]), axis=0)
-    print(f'[directions delta] disagreement={100 * rate:.2f}% '
-          f'({disagree}/{total} entries); '
-          f'd2 R/P/F1={m2[0]:.2f}/{m2[1]:.2f}/{m2[2]:.2f} '
-          f'd1 R/P/F1={m1[0]:.2f}/{m1[1]:.2f}/{m1[2]:.2f} '
-          f'dF1={m1[2] - m2[2]:+.2f}')
-    # loose bounds: the random-net fixture overstates threshold
-    # adjacency (see docstring); the trained-net delta is ~0
-    assert rate <= 0.30, rate
-    assert abs(m1[2] - m2[2]) <= 15.0, (m1, m2)
+    # (b) unconstrained random net: diagnostic only (no swap
+    # consistency -> arbitrary disagreement is EXPECTED)
+    measure(tm.state_dict(), 'random')
