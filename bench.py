@@ -35,11 +35,15 @@ def main():
     ap.add_argument('--repeats', type=int, default=3,
                     help='measurement windows; best is reported')
     ap.add_argument('--warmup', type=int, default=3)
-    ap.add_argument('--dtype', default='bf16',
+    ap.add_argument('--dtype', default='int8',
                     choices=['bf16', 'f32', 'int8', 'int8c'],
-                    help='int8 = boundary-int8 storage with bf16 compute '
-                         '(quantize.py v2); int8c = round-2 fully-'
-                         'quantized int8 compute path')
+                    help='int8 (default) = the measured-best serving '
+                         'config: boundary-int8 storage with bf16 '
+                         'compute (quantize.py v2, 4.1k pairs/s vs '
+                         'bf16 4.0k); int8c = round-2 fully-quantized '
+                         'int8 compute path. Accuracy-parity '
+                         'evaluations use the f32 predictor, not this '
+                         'bench.')
     ap.add_argument('--instances', type=int, default=10,
                     help='instances per synthetic scene (45 pairs at 10)')
     ap.add_argument('--no-pallas', action='store_true',

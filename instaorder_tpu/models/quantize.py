@@ -375,7 +375,14 @@ def _stem_v2(q, x, chunks=1):
                                          x.shape[2] // 4, -1)
 
 
-_PALLAS_DEFAULT_V2 = frozenset(('identity',))
+# v2 default: NO pallas kernels. Measured (bench, 1080 pairs/step):
+# pure-XLA v2 4,137 pairs/s > identity kernels + float inter-kernel IO
+# 3,903 > identity s8-IO 3,798 > identity+down1 3,205 — inside the v2
+# scheme XLA keeps the whole trunk in its preferred layout with the
+# quantize/dequant fused into conv epilogues, and every pallas call
+# re-introduces row-major boundary relayouts that cost more than the
+# kernels save. 'identity'/'down1' stay available as explicit opt-ins.
+_PALLAS_DEFAULT_V2 = frozenset()
 
 
 def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,

@@ -258,7 +258,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
                                                          interpret=True)))(
                     origs[n]))
     try:
-        got = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=True))
+        got = np.asarray(Q.apply_folded_v2(qv2, cfg, x,
+                                           use_pallas=('identity',)))
         got_d1 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('identity', 'down1')))
     finally:
