@@ -22,6 +22,14 @@ The reference has no quantized path; this is the TPU serving fast path.
 Accuracy is validated by logit/decision agreement against the f32
 predictor (tests/test_quantize.py); released-checkpoint Table-3 parity
 of the int8 path additionally needs the real assets.
+
+Two schemes live here:
+  * the round-2 FULLY-quantized path above (quantize_folded_resnet /
+    apply_folded_int8*) — int8 arithmetic everywhere; bit-exact vs the
+    XLA int8 oracle but measured VPU-bound (PERFORMANCE.md post-mortem);
+  * the round-3 v2 path below (quantize_folded_v2 / apply_folded_v2*) —
+    int8 ONLY as boundary storage, bf16 compute; the measured-best
+    serving config (bench.py default).
 """
 
 from __future__ import annotations
