@@ -60,6 +60,11 @@ def main():
     ap.add_argument('--bt-budget-mb', type=int, default=None,
                     help='identity-kernel input-block budget (MB); '
                          'larger -> bigger batch tiles per grid step')
+    ap.add_argument('--prep-stage1', default='f32',
+                    choices=['f32', 'bf16'],
+                    help='storage dtype of the prep row-interp '
+                         'intermediate (bf16 halves ~800MB of HBM '
+                         'traffic; 1-LSB pixel deviations possible)')
     ap.add_argument('--stem-chunks', type=int, default=None,
                     help='sequential chunks for the XLA stem (bounds the '
                          '(N,128,128,64) conv-output HBM liveness); '
@@ -106,11 +111,14 @@ def main():
     pair_idx_j = jnp.asarray(pair_idx)
     sz = args.input_size
 
+    s1dt = jnp.bfloat16 if args.prep_stage1 == 'bf16' else None
+
     def prep_all(images, masks, bboxes):
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx_j)
             return build_pair_batch_matmul(im, m, pair_idx_j, rois,
-                                           out_size=sz, dtype=dtype)
+                                           out_size=sz, dtype=dtype,
+                                           stage1_dtype=s1dt)
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
         return x.reshape(-1, sz, sz, 5)
 

@@ -149,10 +149,11 @@ def _interp_matrix(roi_off, roi_size, out_size, src_size, method='cubic'):
 
 @functools.partial(jax.jit,
                    static_argnames=('out_size', 'normalize', 'rgb_method',
-                                    'precision', 'dtype'))
+                                    'precision', 'dtype', 'stage1_dtype'))
 def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
                             normalize=True, rgb_method='cubic',
-                            precision=jax.lax.Precision.HIGH, dtype=None):
+                            precision=jax.lax.Precision.HIGH, dtype=None,
+                            stage1_dtype=None):
     """MXU formulation of the fused pair batch: per-pair interpolation
     matrices + two batched matmuls for the RGB (the gathers in the default
     path lower poorly on TPU; this keeps the crop-resize on the systolic
@@ -160,6 +161,12 @@ def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
 
     precision: HIGH (bf16_3x, ~f32 accurate — differences vanish under the
     uint8 round) or HIGHEST for bit-level f32.
+    stage1_dtype: storage dtype of the (P, H, out, C) intermediate
+    between the two interpolation matmuls (default f32). bf16 halves
+    its HBM traffic (~800MB at serving batch); pixel values after the
+    uint8 round can differ by 1 LSB vs cv2 where the bf16 rounding of
+    the row-interpolated value lands on the other side of .5 — a
+    serving knob, not for parity runs.
     """
     H, W = image.shape[0], image.shape[1]
     Wy = jax.vmap(lambda r: _interp_matrix(r[1], r[3], out_size, H,
@@ -169,7 +176,10 @@ def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
     img = image.astype(jnp.float32)
     # contract W then H: (P,H,out,C) intermediate is the smaller order
     stage1 = jnp.einsum('pjw,hwc->phjc', Wx, img, precision=precision)
-    rgb_out = jnp.einsum('pih,phjc->pijc', Wy, stage1, precision=precision)
+    if stage1_dtype is not None:
+        stage1 = stage1.astype(stage1_dtype)
+    rgb_out = jnp.einsum('pih,phjc->pijc', Wy, stage1, precision=precision,
+                         preferred_element_type=jnp.float32)
     rgb_out = jnp.clip(jnp.round(rgb_out), 0.0, 255.0)
     if normalize:
         rgb_out = (rgb_out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
