@@ -414,9 +414,13 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             return False
         if 'down' in qb:
             return 'down1' in feats   # stride-1 projection (layer1[0])
-        return 'identity' in feats
+        return 'identity' in feats or 'hwnc' in feats
 
     ok = [_kernel_ok(*b) for b in blocks]
+    # 'hwnc': run identity kernels on the (H, W, N, C) view — its
+    # row-major layout equals XLA's preferred {3,0,2,1}, so the
+    # transposes at run boundaries are layout bitcasts, not copies.
+    is_t = False
     for k, (li, bi, qb) in enumerate(blocks):
         stride = 2 if (li > 0 and bi == 0) else 1
         # store int8 at boundaries that cross into XLA; between two
@@ -424,6 +428,19 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         # values in the compute dtype (0..127 exact in bf16) — the math
         # is identical, only the packed-s8 sublane conversions go away
         out_i8 = not (ok[k] and k + 1 < len(ok) and ok[k + 1])
+        if ok[k] and 'down' not in qb and 'hwnc' in feats:
+            if not is_t:
+                h8 = jnp.transpose(h8, (1, 2, 0, 3))
+                is_t = True
+            h8 = _pb.fused_bottleneck_i8v2_hwnc(
+                h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                qb['conv2']['w'], qb['conv2']['b'],
+                qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
+                bt_budget=bt_budget, out_int8=out_i8)
+            continue
+        if is_t:
+            h8 = jnp.transpose(h8, (2, 0, 1, 3))
+            is_t = False
         if ok[k] and 'down' in qb:
             h8 = _pb.fused_bottleneck_down_i8v2(
                 h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
@@ -450,7 +467,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             iden = xb.astype(jnp.float32) * qb['r']
         h8 = _q8(y + iden)
     feat = h8.astype(jnp.float32) * q['s_feat']
-    pooled = jnp.mean(feat, axis=(1, 2))
+    pooled = jnp.mean(feat, axis=(0, 1) if is_t else (1, 2))
     if cfg['dual_head']:
         return (cnn.linear(q['fc_occ'], pooled),
                 cnn.linear(q['fc_depth'], pooled))

@@ -567,6 +567,86 @@ def fused_bottleneck_down_i8v2(x, w1, b1, w2, b2, w3, b3, wd, bd,
       b3.astype(jnp.float32), wd, bd.astype(jnp.float32))
 
 
+def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                                 w3_ref, b3_ref, r_ref, out_ref, h1p_ref):
+    """Layout-native v2 identity bottleneck: operates on the (H, W, N, C)
+    view, whose row-major layout equals XLA's preferred {3,0,2,1} conv
+    layout on (N, H, W, C) — entering/leaving the kernel is a layout
+    bitcast, not a relayout copy (the tax that sank the NHWC v2 kernels,
+    PERFORMANCE.md round 3). The batch rides the SUBLANE-adjacent dim:
+    blocks are (H, W, B, C) slices of the N axis."""
+    H, W, B, Cin = x_ref.shape
+    Cm = w1_ref.shape[1]
+    cdt = w1_ref.dtype
+
+    x2d = x_ref[:].reshape(H * W * B, Cin).astype(cdt)
+    h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    h1p_ref[1:H + 1, 1:W + 1, :, :] = h1.reshape(H, W, B, Cm)
+
+    cols = jnp.concatenate(
+        [h1p_ref[dy:dy + H, dx:dx + W, :, :].reshape(H * W * B, Cm)
+         for dy in range(3) for dx in range(3)], axis=1)
+    acc = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                  preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+    out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+    out = out + b3_ref[:] + x2d.astype(jnp.float32) * r_ref[0, 0]
+    q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+    out_ref[:] = q.astype(out_ref.dtype).reshape(H, W, B, Cin)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'out_int8'))
+def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
+                               interpret=False, batch_tile=None,
+                               bt_budget=None, out_int8=True):
+    """v2 identity bottleneck on the (H, W, N, Cin) view (= XLA's
+    preferred layout of the NHWC activations, so no boundary relayout).
+    x int8 or quantized-value float; weights compute-dtype with the v2
+    boundary scales folded; r f32 scalar. Returns (H, W, N, Cin)."""
+    H, W, N, Cin = x.shape
+    Cm = w1.shape[1]
+    if batch_tile is None:
+        # the N axis is second-minor, so the block's (B, Cin) tail must
+        # have B % 8 == 0 (or B == N); VMEM is dominated by the im2col
+        # cols (H*W*B, 9*Cm) in the compute dtype
+        per_img = H * W * max(9 * Cm, Cin) * 2
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N   # N < 8 or not a multiple of 8: whole axis
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+
+    return pl.pallas_call(
+        _bottleneck_i8v2_hwnc_kernel,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            x.shape, jnp.int8 if out_int8 else w1.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, B, Cm), w1.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32), jnp.asarray(r, jnp.float32).reshape(1, 1))
+
+
 def stem_reference(x, w, b):
     """XLA reference stem for parity tests."""
     from ..core import nn as cnn

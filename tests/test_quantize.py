@@ -250,7 +250,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     x = jnp.asarray(xs[1])
     want = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=False))
 
-    names = ('fused_bottleneck_i8v2', 'fused_bottleneck_down_i8v2')
+    names = ('fused_bottleneck_i8v2', 'fused_bottleneck_down_i8v2',
+             'fused_bottleneck_i8v2_hwnc')
     origs = {n: getattr(pallas_blocks, n) for n in names}
     for n in names:
         setattr(pallas_blocks, n,
@@ -262,6 +263,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
                                            use_pallas=('identity',)))
         got_d1 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('identity', 'down1')))
+        got_hwnc = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc',)))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
@@ -269,6 +272,7 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     scale = max(np.abs(want).max(), 1e-6)
     assert np.abs(got - want).max() / scale < 0.02
     assert np.abs(got_d1 - want).max() / scale < 0.02
+    assert np.abs(got_hwnc - want).max() / scale < 0.02
 
 
 def test_v2_siamese_swap_fold(v2_net):
