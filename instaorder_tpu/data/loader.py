@@ -1,42 +1,76 @@
 """Batched, prefetching data loader (host side).
 
 Replaces the reference's torch DataLoader + worker subprocesses
-(trainer.py:112-127): a thread pool maps `dataset.sample(idx, rng)` over
-the deterministic sampler stream (cv2/numpy release the GIL for the heavy
-work), collates fixed-shape numpy batches, and keeps `prefetch` batches
-in flight so the device never waits on the host.
+(trainer.py:112-127). Two worker modes:
+
+  * mode='thread' — a thread pool maps `dataset.sample(idx, rng)` over
+    the deterministic sampler stream (cv2/numpy/PIL release the GIL for
+    the heavy work);
+  * mode='process' — spawn-based worker processes (the reference's
+    num_workers model) for hosts where the GIL-bound share of the
+    sample cost limits thread scaling. 'spawn' (not fork) so workers
+    never inherit the parent's TPU client.
 
 Per-sample RNG: seeded as hash(seed, global_sample_position) so the
-stream is reproducible and independent of worker scheduling — stronger
-determinism than the reference's unseeded per-worker np.random
-(SURVEY.md §5 determinism note).
+stream is bit-identical across worker counts, scheduling orders, AND
+modes — stronger determinism than the reference's unseeded per-worker
+np.random (SURVEY.md §5 determinism note).
+
+Throughput (measured, PERFORMANCE.md "Host input pipeline"): one
+sample of the InstaOrderNet_o recipe costs ~17 ms on one core (PNG
+decode dominates), so the 42 ms/step device bound (766 samples/s at
+batch 32) needs ~13 cores; this sandbox exposes a single core, real
+v5e hosts have dozens per chip.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
 from .datasets import collate
 
+# process-mode worker state (one dataset per worker process)
+_WORKER = {}
+
+
+def _worker_init(dataset):
+    _WORKER['ds'] = dataset
+
+
+def _worker_sample(args):
+    seed, pos, idx = args
+    rng = np.random.RandomState((seed * 1_000_003 + pos) % (2 ** 31 - 1))
+    return _WORKER['ds'].sample(int(idx), rng)
+
 
 class DataLoader:
     def __init__(self, dataset, sampler, batch_size, num_workers=4,
-                 prefetch=4, seed=0):
+                 prefetch=4, seed=0, mode='thread'):
+        assert mode in ('thread', 'process'), mode
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
+        self.mode = mode
+
+    def _make_pool(self):
+        if self.mode == 'process':
+            import multiprocessing as mp
+            return ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context('spawn'),
+                initializer=_worker_init, initargs=(self.dataset,))
+        return ThreadPoolExecutor(self.num_workers)
 
     def __iter__(self):
         indices = list(self.sampler)
         n_batches = len(indices) // self.batch_size
-        pool = ThreadPoolExecutor(self.num_workers)
+        pool = self._make_pool()
         q: queue.Queue = queue.Queue(self.prefetch)
         stop = threading.Event()
 
@@ -55,8 +89,14 @@ class DataLoader:
                                     (b + 1) * self.batch_size]
                     positions = range(b * self.batch_size,
                                       (b + 1) * self.batch_size)
-                    samples = list(pool.map(sample_one,
-                                            zip(positions, chunk)))
+                    if self.mode == 'process':
+                        samples = list(pool.map(
+                            _worker_sample,
+                            [(self.seed, p, i) for p, i in
+                             zip(positions, chunk)]))
+                    else:
+                        samples = list(pool.map(sample_one,
+                                                zip(positions, chunk)))
                     q.put(collate(samples))
                 q.put(None)
             except Exception as e:  # surface worker errors to the consumer

@@ -238,7 +238,8 @@ class Trainer:
         return DataLoader(dataset, sampler,
                           per_rank * self.world_size if phase == 'train'
                           else per_rank,
-                          num_workers=data_cfg.get('workers', 4))
+                          num_workers=data_cfg.get('workers', 4),
+                          mode=data_cfg.get('loader_mode', 'thread'))
 
     # -- loops -------------------------------------------------------------
     def run(self, validate_only=False):

@@ -363,3 +363,21 @@ def test_loader_deterministic(fixture):
         np.testing.assert_array_equal(a['occ_order'], b['occ_order'])
     assert any(not np.array_equal(a['rgb'], c['rgb'])
                for a, c in zip(b1, b3))
+
+
+def test_loader_process_mode_matches_thread_mode(fixture):
+    """mode='process' (spawn workers, the reference's num_workers model)
+    must yield bit-identical batches to thread mode — the per-sample RNG
+    is position-seeded, independent of worker scheduling and mode."""
+    from instaorder_tpu.data.loader import DataLoader
+    from instaorder_tpu.data.datasets import SupOcclusionOrderDataset
+    cfg = instaorder_config(fixture)
+    ds = SupOcclusionOrderDataset(cfg, 'val', 'InstaOrderNet_o')
+    bt = list(DataLoader(ds, [0, 1, 2, 3], batch_size=2, num_workers=2,
+                         seed=5, mode='thread'))
+    bp = list(DataLoader(ds, [0, 1, 2, 3], batch_size=2, num_workers=2,
+                         seed=5, mode='process'))
+    assert len(bt) == len(bp) == 2
+    for a, b in zip(bt, bp):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -36,6 +36,8 @@ def main():
                          'DataLoader) and report the data-stall '
                          'fraction vs device-only')
     ap.add_argument('--workers', type=int, default=6)
+    ap.add_argument('--loader-mode', default='thread',
+                    choices=['thread', 'process'])
     args = ap.parse_args()
 
     if args.cpu:
@@ -140,7 +142,7 @@ def main():
             return DataLoader(
                 ds, GivenIterationSampler(len(ds), n_iters, args.batch),
                 batch_size=args.batch, num_workers=args.workers,
-                prefetch=8, seed=0)
+                prefetch=8, seed=0, mode=args.loader_mode)
 
         # (a) host-only: loader drain rate
         it = iter(make_loader())
@@ -187,6 +189,8 @@ def main():
             'e2e_samples_per_s': round(args.batch / e2e_dt, 1),
             'data_stall_frac': round(max(0.0, 1.0 - best / e2e_dt), 3),
             'workers': args.workers,
+            'loader_mode': args.loader_mode,
+            'host_cores': os.cpu_count(),
         })
 
     print(json.dumps(out))
