@@ -568,43 +568,60 @@ def fused_bottleneck_down_i8v2(x, w1, b1, w2, b2, w3, b3, wd, bd,
 
 
 def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                                 w3_ref, b3_ref, r_ref, out_ref, h1p_ref):
+                                 w3_ref, b3_ref, r_ref, out_ref, h1p_ref,
+                                 *, bands):
     """Layout-native v2 identity bottleneck: operates on the (H, W, N, C)
     view, whose row-major layout equals XLA's preferred {3,0,2,1} conv
     layout on (N, H, W, C) — entering/leaving the kernel is a layout
     bitcast, not a relayout copy (the tax that sank the NHWC v2 kernels,
     PERFORMANCE.md round 3). The batch rides the SUBLANE-adjacent dim:
-    blocks are (H, W, B, C) slices of the N axis."""
+    blocks are (H, W, B, C) slices of the N axis.
+
+    Compute is chunked into `bands` row bands so the large temporaries
+    (im2col cols, the f32 conv3+residual tail) are per-band: the
+    unchunked form peaks at 108.29M scoped VMEM at layer1 even with
+    B=8 (> the ~104.5M limit, measured on-device)."""
     H, W, B, Cin = x_ref.shape
     Cm = w1_ref.shape[1]
     cdt = w1_ref.dtype
+    rb = H // bands
 
-    x2d = x_ref[:].reshape(H * W * B, Cin).astype(cdt)
-    h1 = jnp.dot(x2d, w1_ref[:], preferred_element_type=jnp.float32)
-    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
-
+    # conv1 per band, relu'd straight into the padded scratch — bounds
+    # the f32 dot output and the bf16 cast of the s8 input
     h1p_ref[:] = jnp.zeros_like(h1p_ref)
-    h1p_ref[1:H + 1, 1:W + 1, :, :] = h1.reshape(H, W, B, Cm)
+    for t in range(bands):
+        y0 = t * rb
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
+        h1 = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+        h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = h1.reshape(
+            rb, W, B, Cm)
 
-    cols = jnp.concatenate(
-        [h1p_ref[dy:dy + H, dx:dx + W, :, :].reshape(H * W * B, Cm)
-         for dy in range(3) for dx in range(3)], axis=1)
-    acc = jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
-                  preferred_element_type=jnp.float32)
-    h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+    w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    for t in range(bands):
+        y0 = t * rb
+        # output row y's dy tap reads padded row y + dy (pad offset 1)
+        cols = jnp.concatenate(
+            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                rb * W * B, Cm)
+             for dy in range(3) for dx in range(3)], axis=1)
+        acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
 
-    out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
-    out = out + b3_ref[:] + x2d.astype(jnp.float32) * r_ref[0, 0]
-    q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
-    out_ref[:] = q.astype(out_ref.dtype).reshape(H, W, B, Cin)
+        out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
+        out = out + b3_ref[:] + xb.astype(jnp.float32) * r_ref[0, 0]
+        q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+        out_ref[y0:y0 + rb] = q.astype(out_ref.dtype).reshape(
+            rb, W, B, Cin)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'batch_tile', 'bt_budget',
-                                    'out_int8'))
+                                    'out_int8', 'bands'))
 def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
                                interpret=False, batch_tile=None,
-                               bt_budget=None, out_int8=True):
+                               bt_budget=None, out_int8=True, bands=None):
     """v2 identity bottleneck on the (H, W, N, Cin) view (= XLA's
     preferred layout of the NHWC activations, so no boundary relayout).
     x int8 or quantized-value float; weights compute-dtype with the v2
@@ -613,9 +630,10 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
     Cm = w1.shape[1]
     if batch_tile is None:
         # the N axis is second-minor, so the block's (B, Cin) tail must
-        # have B % 8 == 0 (or B == N); VMEM is dominated by the im2col
-        # cols (H*W*B, 9*Cm) in the compute dtype
-        per_img = H * W * max(9 * Cm, Cin) * 2
+        # have B % 8 == 0 (or B == N); steady-state VMEM is the
+        # double-buffered in/out windows + the padded scratch (the band
+        # temporaries are bounded separately below)
+        per_img = H * W * Cin * 2 * 2
         budget = BT_BUDGET if bt_budget is None else bt_budget
         batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
         while batch_tile > 0 and N % batch_tile:
@@ -624,9 +642,18 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
             batch_tile = N   # N < 8 or not a multiple of 8: whole axis
     B = batch_tile
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands is None:
+        # rows per band so cols (9*Cm bf16) + f32 tail (2*Cin f32) stay
+        # a few MB; unchunked the kernel peaks at 108.29M scoped (OOM)
+        per_row = W * B * (9 * Cm * 2 + Cin * 8)
+        rb = max(1, (6 * 1024 * 1024) // max(per_row, 1))
+        while H % rb:
+            rb -= 1
+        bands = H // rb
+    assert H % bands == 0, (H, bands)
 
     return pl.pallas_call(
-        _bottleneck_i8v2_hwnc_kernel,
+        functools.partial(_bottleneck_i8v2_hwnc_kernel, bands=bands),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
