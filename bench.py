@@ -39,11 +39,12 @@ def main():
                     choices=['bf16', 'f32', 'int8', 'int8c'],
                     help='int8 (default) = the measured-best serving '
                          'config: boundary-int8 storage with bf16 '
-                         'compute (quantize.py v2, 4.1k pairs/s vs '
-                         'bf16 4.0k); int8c = round-2 fully-quantized '
-                         'int8 compute path. Accuracy-parity '
-                         'evaluations use the f32 predictor, not this '
-                         'bench.')
+                         'compute and layout-native hwnc identity '
+                         'kernels over the whole trunk (quantize.py '
+                         'v2, 4.5k pairs/s vs bf16 4.0k); int8c = '
+                         'round-2 fully-quantized int8 compute path. '
+                         'Accuracy-parity evaluations use the f32 '
+                         'predictor, not this bench.')
     ap.add_argument('--instances', type=int, default=10,
                     help='instances per synthetic scene (45 pairs at 10)')
     ap.add_argument('--no-pallas', action='store_true',

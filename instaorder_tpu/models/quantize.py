@@ -383,14 +383,20 @@ def _stem_v2(q, x, chunks=1):
                                          x.shape[2] // 4, -1)
 
 
-# v2 default: NO pallas kernels. Measured (bench, 1080 pairs/step):
-# pure-XLA v2 4,137 pairs/s > identity kernels + float inter-kernel IO
-# 3,903 > identity s8-IO 3,798 > identity+down1 3,205 — inside the v2
-# scheme XLA keeps the whole trunk in its preferred layout with the
-# quantize/dequant fused into conv epilogues, and every pallas call
-# re-introduces row-major boundary relayouts that cost more than the
-# kernels save. 'identity'/'down1' stay available as explicit opt-ins.
-_PALLAS_DEFAULT_V2 = frozenset()
+# v2 default: layout-native hwnc identity kernels over the WHOLE trunk.
+# Measured (bench, 1080 pairs/step, same session): hwnc cap2048 4,480
+# pairs/s > hwnc cap512 4,418 > pure-XLA v2 4,278 > identity(nhwc)+float
+# inter-kernel IO 3,903 > identity s8-IO 3,798 > identity+down1 3,205.
+# The hwnc kernels run on the (H, W, N, C) view whose row-major layout
+# equals XLA's preferred conv layout {3,0,2,1}, so the XLA<->pallas
+# boundary transposes are bitcasts, not relayout copies — that tax is
+# what made the nhwc kernels lose to pure XLA. 'identity'/'down1' stay
+# available as explicit opt-ins; --no-pallas reproduces pure XLA.
+_PALLAS_DEFAULT_V2 = frozenset(('hwnc',))
+
+# hwnc identity kernels win at every depth (zero boundary tax), so the
+# default cap routes ALL stride-1 identity blocks through them.
+_HWNC_CIN_CAP = 2048
 
 
 def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
@@ -399,7 +405,12 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     from .folding import _pallas_features as shared
     from ..ops import pallas_blocks as _pb
     feats = shared(use_pallas, default=_PALLAS_DEFAULT_V2)
-    cap = _pb.IDEN_CIN_CAP if iden_cin_cap is None else iden_cin_cap
+    if iden_cin_cap is not None:
+        cap = iden_cin_cap
+    elif 'hwnc' in feats or 'hwncs' in feats:
+        cap = _HWNC_CIN_CAP
+    else:
+        cap = _pb.IDEN_CIN_CAP
     groups = cfg['groups']
     assert cfg['block'] == 'bottleneck' and groups == 1, \
         'v2 path targets the resnet50 family'
@@ -414,29 +425,56 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             return False
         if 'down' in qb:
             return 'down1' in feats   # stride-1 projection (layer1[0])
-        return 'identity' in feats or 'hwnc' in feats
+        return ('identity' in feats or 'hwnc' in feats
+                or 'hwncs' in feats)
 
     ok = [_kernel_ok(*b) for b in blocks]
     # 'hwnc': run identity kernels on the (H, W, N, C) view — its
     # row-major layout equals XLA's preferred {3,0,2,1}, so the
     # transposes at run boundaries are layout bitcasts, not copies.
+    # 'hwncs': additionally fuse each RUN of consecutive identity
+    # blocks into ONE pallas call with the activation VMEM-resident
+    # across blocks (no inter-block HBM round trips).
+    hwnc_on = 'hwnc' in feats or 'hwncs' in feats
     is_t = False
-    for k, (li, bi, qb) in enumerate(blocks):
+    k = 0
+    while k < len(blocks):
+        li, bi, qb = blocks[k]
         stride = 2 if (li > 0 and bi == 0) else 1
         # store int8 at boundaries that cross into XLA; between two
         # consecutive pallas kernels keep the SAME quantized integer
         # values in the compute dtype (0..127 exact in bf16) — the math
         # is identical, only the packed-s8 sublane conversions go away
         out_i8 = not (ok[k] and k + 1 < len(ok) and ok[k + 1])
-        if ok[k] and 'down' not in qb and 'hwnc' in feats:
+        if ok[k] and 'down' not in qb and hwnc_on:
             if not is_t:
                 h8 = jnp.transpose(h8, (1, 2, 0, 3))
                 is_t = True
+            if 'hwncs' in feats:
+                j = k
+                while (j < len(blocks) and ok[j]
+                       and 'down' not in blocks[j][2]):
+                    j += 1
+                run = [blocks[i][2] for i in range(k, j)]
+                flat = []
+                for rqb in run:
+                    flat += [rqb['conv1']['w'][0, 0], rqb['conv1']['b'],
+                             rqb['conv2']['w'], rqb['conv2']['b'],
+                             rqb['conv3']['w'][0, 0], rqb['conv3']['b']]
+                rs = jnp.stack([jnp.asarray(rqb['r'], jnp.float32)
+                                for rqb in run])
+                run_out_i8 = not (j < len(ok) and ok[j])
+                h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
+                    h8, *flat, rs, nblocks=len(run),
+                    bt_budget=bt_budget, out_int8=run_out_i8)
+                k = j
+                continue
             h8 = _pb.fused_bottleneck_i8v2_hwnc(
                 h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
                 qb['conv2']['w'], qb['conv2']['b'],
                 qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
                 bt_budget=bt_budget, out_int8=out_i8)
+            k += 1
             continue
         if is_t:
             h8 = jnp.transpose(h8, (2, 0, 1, 3))
@@ -448,6 +486,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                 qb['conv3']['w'][0, 0], qb['conv3']['b'],
                 qb['down']['w'][0, 0], qb['down']['b'],
                 bt_budget=bt_budget, out_int8=out_i8)
+            k += 1
             continue
         if ok[k]:
             h8 = _pb.fused_bottleneck_i8v2(
@@ -455,6 +494,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                 qb['conv2']['w'], qb['conv2']['b'],
                 qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
                 bt_budget=bt_budget, out_int8=out_i8)
+            k += 1
             continue
         xb = h8.astype(cdt)
         h = jnp.maximum(cnn.conv2d(qb['conv1'], xb), 0.0).astype(cdt)
@@ -466,6 +506,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         else:
             iden = xb.astype(jnp.float32) * qb['r']
         h8 = _q8(y + iden)
+        k += 1
     feat = h8.astype(jnp.float32) * q['s_feat']
     pooled = jnp.mean(feat, axis=(0, 1) if is_t else (1, 2))
     if cfg['dual_head']:

@@ -674,6 +674,127 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
       b3.astype(jnp.float32), jnp.asarray(r, jnp.float32).reshape(1, 1))
 
 
+def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks):
+    """Run `nblocks` consecutive v2 identity bottlenecks on one (H, W,
+    B, C) tile with the activation resident in VMEM across blocks — the
+    inter-block HBM round trip of the per-block hwnc kernel (write +
+    re-read of the full activation per boundary) disappears.
+
+    refs layout: x_ref, then per block (w1, b1, w2, b2, w3, b3), then
+    r_ref (nblocks, 1) SMEM, out_ref, h1p_ref. Between blocks the
+    activation is staged through out_ref itself: inter-block values are
+    quantized integers 0..127 (exact in int8 AND in bf16), so the out
+    window doubles as the resident activation buffer — a dedicated
+    scratch pushed scoped VMEM to 116.8M at layer1 (> the ~104.5M
+    ceiling, measured on-device)."""
+    x_ref = refs[0]
+    r_ref = refs[1 + 6 * nblocks]
+    out_ref = refs[2 + 6 * nblocks]
+    h1p_ref = refs[3 + 6 * nblocks]
+    H, W, B, Cin = x_ref.shape
+    rb = H // bands
+
+    for k in range(nblocks):
+        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref = \
+            refs[1 + 6 * k:7 + 6 * k]
+        Cm = w1_ref.shape[1]
+        cdt = w1_ref.dtype
+        src = x_ref if k == 0 else out_ref
+        dst = out_ref
+
+        # conv1 per band, relu'd into the padded scratch
+        h1p_ref[:] = jnp.zeros_like(h1p_ref)
+        for t in range(bands):
+            y0 = t * rb
+            xb = src[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
+            h1 = jnp.dot(xb, w1_ref[:],
+                         preferred_element_type=jnp.float32)
+            h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+            h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = h1.reshape(
+                rb, W, B, Cm)
+
+        # conv2 (3x3 im2col) + conv3 + residual + requant per band; the
+        # band's residual read happens before its write, so src == dst
+        # (act -> act) is safe
+        w2f = w2_ref[:].reshape(9 * Cm, Cm)
+        for t in range(bands):
+            y0 = t * rb
+            cols = jnp.concatenate(
+                [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                    rb * W * B, Cm)
+                 for dy in range(3) for dx in range(3)], axis=1)
+            acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+            h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+            out = jnp.dot(h2, w3_ref[:],
+                          preferred_element_type=jnp.float32)
+            xb = src[y0:y0 + rb].reshape(rb * W * B, Cin)
+            out = out + b3_ref[:] + xb.astype(jnp.float32) * r_ref[k, 0]
+            q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+            dst[y0:y0 + rb] = q.astype(dst.dtype).reshape(
+                rb, W, B, Cin)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('nblocks', 'interpret', 'batch_tile',
+                                    'bt_budget', 'out_int8', 'bands'))
+def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
+                                     batch_tile=None, bt_budget=None,
+                                     out_int8=True, bands=None):
+    """Stage-fused v2 identity run on the (H, W, N, Cin) view: `nblocks`
+    consecutive identity bottlenecks per pallas call. flat_wb is
+    (w1, b1, w2, b2, w3, b3) per block followed by rs (nblocks,) f32.
+    See fused_bottleneck_i8v2_hwnc for the layout/VMEM story."""
+    assert len(flat_wb) == 6 * nblocks + 1, len(flat_wb)
+    rs = flat_wb[-1]
+    wbs = []
+    for k in range(nblocks):
+        w1, b1, w2, b2, w3, b3 = flat_wb[6 * k:6 * k + 6]
+        wbs += [w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
+                w3, b3.astype(jnp.float32)]
+    H, W, N, Cin = x.shape
+    Cm = flat_wb[0].shape[1]
+    cdt = flat_wb[0].dtype
+    if batch_tile is None:
+        per_img = H * W * Cin * 2 * 2
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands is None:
+        per_row = W * B * (9 * Cm * 2 + Cin * 8)
+        rb = max(1, (6 * 1024 * 1024) // max(per_row, 1))
+        while H % rb:
+            rb -= 1
+        bands = H // rb
+    assert H % bands == 0, (H, bands)
+
+    return pl.pallas_call(
+        functools.partial(_bottleneck_i8v2_hwnc_stage_kernel, bands=bands,
+                          nblocks=nblocks),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 * nblocks) + [
+            pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            x.shape, jnp.int8 if out_int8 else cdt),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, B, Cm), cdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *wbs, jnp.asarray(rs, jnp.float32).reshape(nblocks, 1))
+
+
 def stem_reference(x, w, b):
     """XLA reference stem for parity tests."""
     from ..core import nn as cnn
