@@ -450,7 +450,15 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             if not is_t:
                 h8 = jnp.transpose(h8, (1, 2, 0, 3))
                 is_t = True
-            if 'hwncs' in feats:
+            # stage fusion pays only with zero-repack 'act' staging,
+            # whose compute-dtype scratch fits scoped VMEM at layers
+            # 2-4 but not at layer1's (64, 64, B, 256) tiles (measured:
+            # 'out' staging there loses to per-block on s8<->bf16
+            # sublane repacking; a bf16 scratch OOMs at 116.8M scoped)
+            h, w = h8.shape[0], h8.shape[1]
+            cin1 = qb['conv1']['w'].shape[2]
+            act_fits = h * w * cin1 <= 600_000
+            if 'hwncs' in feats and act_fits:
                 j = k
                 while (j < len(blocks) and ok[j]
                        and 'down' not in blocks[j][2]):
@@ -466,7 +474,8 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                 run_out_i8 = not (j < len(ok) and ok[j])
                 h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
                     h8, *flat, rs, nblocks=len(run),
-                    bt_budget=bt_budget, out_int8=run_out_i8)
+                    bt_budget=bt_budget, out_int8=run_out_i8,
+                    staging='act')
                 k = j
                 continue
             h8 = _pb.fused_bottleneck_i8v2_hwnc(

@@ -674,23 +674,31 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
       b3.astype(jnp.float32), jnp.asarray(r, jnp.float32).reshape(1, 1))
 
 
-def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks):
+def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
     """Run `nblocks` consecutive v2 identity bottlenecks on one (H, W,
     B, C) tile with the activation resident in VMEM across blocks — the
     inter-block HBM round trip of the per-block hwnc kernel (write +
     re-read of the full activation per boundary) disappears.
 
     refs layout: x_ref, then per block (w1, b1, w2, b2, w3, b3), then
-    r_ref (nblocks, 1) SMEM, out_ref, h1p_ref. Between blocks the
-    activation is staged through out_ref itself: inter-block values are
-    quantized integers 0..127 (exact in int8 AND in bf16), so the out
-    window doubles as the resident activation buffer — a dedicated
-    scratch pushed scoped VMEM to 116.8M at layer1 (> the ~104.5M
-    ceiling, measured on-device)."""
+    r_ref (nblocks, 1) SMEM, out_ref, [act_ref], h1p_ref. Inter-block
+    staging:
+      'out' — stage through out_ref itself: inter-block values are
+        quantized integers 0..127, exact in int8, so the out window
+        doubles as the activation buffer. Cheapest VMEM (a dedicated
+        bf16 scratch pushed scoped VMEM to 116.8M at layer1 > the
+        ~104.5M ceiling) but pays s8<->bf16 sublane repacking per
+        boundary on the VPU (measured: 4,306 pairs/s, LOSES to
+        per-block hwnc's 4,480).
+      'act' — a compute-dtype VMEM scratch holds the quantized values
+        exactly (0..127 in bf16): no repacking at all. Costs
+        H*W*B*Cin*2 extra scoped VMEM, so the wrapper only picks it
+        where it fits (layers 2-4)."""
     x_ref = refs[0]
     r_ref = refs[1 + 6 * nblocks]
     out_ref = refs[2 + 6 * nblocks]
-    h1p_ref = refs[3 + 6 * nblocks]
+    act_ref = refs[3 + 6 * nblocks] if staging == 'act' else None
+    h1p_ref = refs[-1]
     H, W, B, Cin = x_ref.shape
     rb = H // bands
 
@@ -699,8 +707,12 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks):
             refs[1 + 6 * k:7 + 6 * k]
         Cm = w1_ref.shape[1]
         cdt = w1_ref.dtype
-        src = x_ref if k == 0 else out_ref
-        dst = out_ref
+        if staging == 'act':
+            src = x_ref if k == 0 else act_ref
+            dst = out_ref if k == nblocks - 1 else act_ref
+        else:
+            src = x_ref if k == 0 else out_ref
+            dst = out_ref
 
         # conv1 per band, relu'd into the padded scratch
         h1p_ref[:] = jnp.zeros_like(h1p_ref)
@@ -737,14 +749,17 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks):
 
 @functools.partial(jax.jit,
                    static_argnames=('nblocks', 'interpret', 'batch_tile',
-                                    'bt_budget', 'out_int8', 'bands'))
+                                    'bt_budget', 'out_int8', 'bands',
+                                    'staging'))
 def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
                                      batch_tile=None, bt_budget=None,
-                                     out_int8=True, bands=None):
+                                     out_int8=True, bands=None,
+                                     staging='out'):
     """Stage-fused v2 identity run on the (H, W, N, Cin) view: `nblocks`
     consecutive identity bottlenecks per pallas call. flat_wb is
     (w1, b1, w2, b2, w3, b3) per block followed by rs (nblocks,) f32.
-    See fused_bottleneck_i8v2_hwnc for the layout/VMEM story."""
+    See fused_bottleneck_i8v2_hwnc for the layout/VMEM story and the
+    kernel docstring for the 'out'/'act' staging trade."""
     assert len(flat_wb) == 6 * nblocks + 1, len(flat_wb)
     rs = flat_wb[-1]
     wbs = []
@@ -773,9 +788,13 @@ def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
         bands = H // rb
     assert H % bands == 0, (H, bands)
 
+    scratch = []
+    if staging == 'act':
+        scratch.append(pltpu.VMEM((H, W, B, Cin), cdt))
+    scratch.append(pltpu.VMEM((H + 2, W + 2, B, Cm), cdt))
     return pl.pallas_call(
         functools.partial(_bottleneck_i8v2_hwnc_stage_kernel, bands=bands,
-                          nblocks=nblocks),
+                          nblocks=nblocks, staging=staging),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
@@ -788,7 +807,7 @@ def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             x.shape, jnp.int8 if out_int8 else cdt),
-        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, B, Cm), cdt)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

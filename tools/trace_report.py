@@ -170,6 +170,32 @@ def main():
         print(f'\n== line [{ln}]  total {total:.1f} ms over 3 steps ==')
         for ms, calls, name in rows[:args.top]:
             print(f'{ms:10.2f} {calls:6d}  {name[:110]}')
+        # class rollup: group ops by kind so the report reads as a
+        # budget, not a flat op list
+        kinds = (('pallas hwnc stage', 'hwnc_stage'),
+                 ('pallas hwnc', 'hwnc'),
+                 ('pallas other', 'fused_'),
+                 ('convolution', 'conv'),
+                 ('matmul', 'dot'),
+                 ('relayout/copy', ('transpose', 'copy', 'bitcast')),
+                 ('fusion (elementwise/quantize)', 'fusion'),
+                 ('reduce', 'reduce'))
+        agg = {}
+        for ms, calls, name in rows:
+            label = 'other'
+            for lab, pats in kinds:
+                pats = (pats,) if isinstance(pats, str) else pats
+                if any(p in name for p in pats):
+                    label = lab
+                    break
+            a = agg.setdefault(label, [0.0, 0])
+            a[0] += ms
+            a[1] += calls
+        print('  -- rollup --')
+        for lab, (ms, calls) in sorted(agg.items(),
+                                       key=lambda kv: -kv[1][0]):
+            pct = 100.0 * ms / max(total, 1e-9)
+            print(f'{ms:10.2f} {calls:6d}  {pct:5.1f}%  {lab}')
 
 
 if __name__ == '__main__':
