@@ -61,6 +61,14 @@ def main():
     ap.add_argument('--bt-budget-mb', type=int, default=None,
                     help='identity-kernel input-block budget (MB); '
                          'larger -> bigger batch tiles per grid step')
+    ap.add_argument('--band-budget-mb', type=int, default=None,
+                    help='hwnc-kernel row-band temporary budget (MB); '
+                         'larger -> fewer, bigger band iterations '
+                         '(default 6)')
+    ap.add_argument('--hwnc-conv2', default='im2col',
+                    choices=['im2col', 'acc'],
+                    help='hwnc-kernel 3x3 strategy: one big im2col '
+                         'matmul vs 9 accumulating tap matmuls')
     ap.add_argument('--prep-stage1', default='f32',
                     choices=['f32', 'bf16'],
                     help='storage dtype of the prep row-interp '
@@ -129,6 +137,8 @@ def main():
         args.stem_chunks = 4 if args.dtype == 'int8c' else 1
     bt_budget = args.bt_budget_mb * 1024 * 1024 if args.bt_budget_mb \
         else None
+    band_budget = args.band_budget_mb * 1024 * 1024 \
+        if args.band_budget_mb else None
     iden_cin_cap = args.iden_cin_cap
     if args.no_pallas:
         pallas = False
@@ -153,11 +163,13 @@ def main():
             apply_one = functools.partial(
                 Q.apply_folded_v2, cfg=cfg, use_pallas=pallas,
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
-                bt_budget=bt_budget)
+                bt_budget=bt_budget, band_budget=band_budget,
+                conv2_mode=args.hwnc_conv2)
             apply_sia = functools.partial(
                 Q.apply_folded_v2_siamese, cfg=cfg, use_pallas=pallas,
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
-                bt_budget=bt_budget)
+                bt_budget=bt_budget, band_budget=band_budget,
+                conv2_mode=args.hwnc_conv2)
         else:
             qparams = Q.quantize_folded_resnet(folded_f32, cfg, scales)
             if args.bt_budget_mb:

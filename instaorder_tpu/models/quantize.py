@@ -400,7 +400,8 @@ _HWNC_CIN_CAP = 2048
 
 
 def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
-                    bt_budget=None):
+                    bt_budget=None, band_budget=None,
+                    conv2_mode='im2col'):
     """int8 stem output -> boundary-int8 trunk -> f32 head logits."""
     from .folding import _pallas_features as shared
     from ..ops import pallas_blocks as _pb
@@ -446,6 +447,22 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         # values in the compute dtype (0..127 exact in bf16) — the math
         # is identical, only the packed-s8 sublane conversions go away
         out_i8 = not (ok[k] and k + 1 < len(ok) and ok[k + 1])
+        if ok[k] and 'down' in qb and hwnc_on:
+            # stride-1 projection (layer1[0]) in the hwnc layout:
+            # replaces the XLA block + its s8 epilogue with zero
+            # boundary relayouts (gated on 'down1' via _kernel_ok)
+            if not is_t:
+                h8 = jnp.transpose(h8, (1, 2, 0, 3))
+                is_t = True
+            h8 = _pb.fused_bottleneck_down_i8v2_hwnc(
+                h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                qb['conv2']['w'], qb['conv2']['b'],
+                qb['conv3']['w'][0, 0], qb['conv3']['b'],
+                qb['down']['w'][0, 0], qb['down']['b'],
+                bt_budget=bt_budget, out_int8=out_i8,
+                band_budget=band_budget)
+            k += 1
+            continue
         if ok[k] and 'down' not in qb and hwnc_on:
             if not is_t:
                 h8 = jnp.transpose(h8, (1, 2, 0, 3))
@@ -482,7 +499,8 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                 h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
                 qb['conv2']['w'], qb['conv2']['b'],
                 qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
-                bt_budget=bt_budget, out_int8=out_i8)
+                bt_budget=bt_budget, out_int8=out_i8,
+                band_budget=band_budget, conv2_mode=conv2_mode)
             k += 1
             continue
         if is_t:
@@ -525,15 +543,18 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
 
 
 def apply_folded_v2(q, cfg, x, use_pallas=True, stem_chunks=1,
-                    iden_cin_cap=None, bt_budget=None):
+                    iden_cin_cap=None, bt_budget=None, band_budget=None,
+                    conv2_mode='im2col'):
     """Unquantized prep output -> boundary-int8 trunk -> f32 logits."""
     h8 = _stem_v2(q, x, chunks=stem_chunks)
     return _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
-                           iden_cin_cap=iden_cin_cap, bt_budget=bt_budget)
+                           iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
+                           band_budget=band_budget, conv2_mode=conv2_mode)
 
 
 def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
-                            iden_cin_cap=None, bt_budget=None):
+                            iden_cin_cap=None, bt_budget=None,
+                            band_budget=None, conv2_mode='im2col'):
     """Both swap directions via the folded-conv1 trick
     (models/folding.py:95-140): conv1(swap(x)) == conv1'(x) with input
     channel rows 0,1 exchanged."""
@@ -544,7 +565,8 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
     h2 = _stem_v2(dict(q, conv1=conv1_sw), x, chunks=stem_chunks)
     h8 = jnp.concatenate([h1, h2], axis=0)
     out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
-                          iden_cin_cap=iden_cin_cap, bt_budget=bt_budget)
+                          iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
+                          band_budget=band_budget, conv2_mode=conv2_mode)
     n = x.shape[0]
     if isinstance(out, tuple):
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)

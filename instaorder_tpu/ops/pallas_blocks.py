@@ -569,7 +569,8 @@ def fused_bottleneck_down_i8v2(x, w1, b1, w2, b2, w3, b3, wd, bd,
 
 def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                  w3_ref, b3_ref, r_ref, out_ref, h1p_ref,
-                                 *, bands):
+                                 *, bands, conv2_mode='im2col',
+                                 ep_bf16=False):
     """Layout-native v2 identity bottleneck: operates on the (H, W, N, C)
     view, whose row-major layout equals XLA's preferred {3,0,2,1} conv
     layout on (N, H, W, C) — entering/leaving the kernel is a layout
@@ -601,11 +602,24 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     for t in range(bands):
         y0 = t * rb
         # output row y's dy tap reads padded row y + dy (pad offset 1)
-        cols = jnp.concatenate(
-            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
-                rb * W * B, Cm)
-             for dy in range(3) for dx in range(3)], axis=1)
-        acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        if conv2_mode == 'im2col':
+            cols = jnp.concatenate(
+                [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                    rb * W * B, Cm)
+                 for dy in range(3) for dx in range(3)], axis=1)
+            acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        else:
+            # 'acc': 9 accumulating K=Cm matmuls — no materialized
+            # (M, 9*Cm) cols buffer, trading MXU contraction depth for
+            # the concat's VMEM shuffle traffic
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    sl = h1p_ref[y0 + dy:y0 + dy + rb,
+                                 dx:dx + W, :, :].reshape(rb * W * B, Cm)
+                    d = jnp.dot(sl, w2_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+                    acc = d if acc is None else acc + d
         h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
 
         out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
@@ -618,10 +632,12 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'batch_tile', 'bt_budget',
-                                    'out_int8', 'bands'))
+                                    'out_int8', 'bands', 'band_budget',
+                                    'conv2_mode'))
 def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
                                interpret=False, batch_tile=None,
-                               bt_budget=None, out_int8=True, bands=None):
+                               bt_budget=None, out_int8=True, bands=None,
+                               band_budget=None, conv2_mode='im2col'):
     """v2 identity bottleneck on the (H, W, N, Cin) view (= XLA's
     preferred layout of the NHWC activations, so no boundary relayout).
     x int8 or quantized-value float; weights compute-dtype with the v2
@@ -644,16 +660,20 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
     if bands is None:
         # rows per band so cols (9*Cm bf16) + f32 tail (2*Cin f32) stay
-        # a few MB; unchunked the kernel peaks at 108.29M scoped (OOM)
+        # bounded; unchunked the kernel peaks at 108.29M scoped (OOM).
+        # band_budget trades scoped VMEM for fewer, larger band
+        # iterations (bench --band-budget-mb).
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
         per_row = W * B * (9 * Cm * 2 + Cin * 8)
-        rb = max(1, (6 * 1024 * 1024) // max(per_row, 1))
+        rb = max(1, bb // max(per_row, 1))
         while H % rb:
             rb -= 1
         bands = H // rb
     assert H % bands == 0, (H, bands)
 
     return pl.pallas_call(
-        functools.partial(_bottleneck_i8v2_hwnc_kernel, bands=bands),
+        functools.partial(_bottleneck_i8v2_hwnc_kernel, bands=bands,
+                          conv2_mode=conv2_mode),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
@@ -672,6 +692,101 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
         interpret=interpret,
     )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
       b3.astype(jnp.float32), jnp.asarray(r, jnp.float32).reshape(1, 1))
+
+
+def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
+                                      b2_ref, w3_ref, b3_ref, wd_ref,
+                                      bd_ref, out_ref, h1p_ref, *, bands):
+    """Layout-native v2 stride-1 PROJECTION bottleneck (ResNet-50
+    layer1[0], reference resnet_cls.py Bottleneck-with-downsample) on
+    the (H, W, B, C) view: like _bottleneck_i8v2_hwnc_kernel but the
+    residual is a 1x1 channel projection (wd: Cin -> Cout) and
+    Cout != Cin. Replaces the XLA layer1[0] block AND its s8
+    clamp_convert epilogue (5.8 ms at serving batch in the round-3
+    trace) with zero boundary relayouts."""
+    H, W, B, Cin = x_ref.shape
+    Cout = out_ref.shape[-1]
+    Cm = w1_ref.shape[1]
+    cdt = w1_ref.dtype
+    rb = H // bands
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    for t in range(bands):
+        y0 = t * rb
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
+        h1 = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+        h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = h1.reshape(
+            rb, W, B, Cm)
+
+    w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    for t in range(bands):
+        y0 = t * rb
+        cols = jnp.concatenate(
+            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                rb * W * B, Cm)
+             for dy in range(3) for dx in range(3)], axis=1)
+        acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+        out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
+        iden = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.float32)
+        out = out + b3_ref[:] + iden + bd_ref[:]
+        q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+        out_ref[y0:y0 + rb] = q.astype(out_ref.dtype).reshape(
+            rb, W, B, Cout)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'out_int8', 'bands', 'band_budget'))
+def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
+                                    interpret=False, batch_tile=None,
+                                    bt_budget=None, out_int8=True,
+                                    bands=None, band_budget=None):
+    """v2 stride-1 projection bottleneck on the (H, W, N, Cin) view ->
+    (H, W, N, Cout). Scale algebra per quantize_folded_v2's 'down'
+    entry; layout/VMEM story per fused_bottleneck_i8v2_hwnc."""
+    H, W, N, Cin = x.shape
+    Cm = w1.shape[1]
+    Cout = w3.shape[1]
+    if batch_tile is None:
+        per_img = H * W * max(Cin, Cout) * 2 * 2
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        per_row = W * B * (9 * Cm * 2 + Cout * 8)
+        rb = max(1, bb // max(per_row, 1))
+        while H % rb:
+            rb -= 1
+        bands = H // rb
+    assert H % bands == 0, (H, bands)
+
+    return pl.pallas_call(
+        functools.partial(_bottleneck_down_i8v2_hwnc_kernel, bands=bands),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((H, W, B, Cout), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (H, W, N, Cout), jnp.int8 if out_int8 else w1.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, B, Cm), w1.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32), wd, bd.astype(jnp.float32))
 
 
 def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):

@@ -251,7 +251,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     want = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=False))
 
     names = ('fused_bottleneck_i8v2', 'fused_bottleneck_down_i8v2',
-             'fused_bottleneck_i8v2_hwnc', 'fused_bottleneck_i8v2_hwnc_stage')
+             'fused_bottleneck_i8v2_hwnc', 'fused_bottleneck_i8v2_hwnc_stage',
+             'fused_bottleneck_down_i8v2_hwnc')
     origs = {n: getattr(pallas_blocks, n) for n in names}
     for n in names:
         setattr(pallas_blocks, n,
@@ -267,6 +268,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
             qv2, cfg, x, use_pallas=('hwnc',)))
         got_hwncs = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwncs',)))
+        got_hwnc_d1 = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down1')))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
@@ -275,6 +278,7 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     assert np.abs(got - want).max() / scale < 0.02
     assert np.abs(got_d1 - want).max() / scale < 0.02
     assert np.abs(got_hwnc - want).max() / scale < 0.02
+    assert np.abs(got_hwnc_d1 - want).max() / scale < 0.02
     # stage-fused hwnc carries the same quantized integers through the
     # run as per-block hwnc: identical math, VMEM-resident activation
     np.testing.assert_allclose(got_hwncs, got_hwnc, atol=1e-4)
