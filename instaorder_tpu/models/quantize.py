@@ -202,9 +202,27 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
     feats = _pallas_features(use_pallas)
     groups = cfg['groups']
     assert groups == 1, 'int8 path: groups>1 stays on the bf16 path'
+    is_t = False   # h8 currently in the (H, W, N, C) hwnc view
     for li in range(4):
         for bi, qb in enumerate(q[f'layer{li + 1}']):
             stride = 2 if (li > 0 and bi == 0) else 1
+            if 'down' not in qb and stride == 1 and 'hwnc' in feats:
+                # layout-native int8 kernel: s8 MXU dots on the
+                # (H, W, N, C) view, bitcast entry/exit (see
+                # fused_bottleneck_int8_hwnc)
+                from ..ops.pallas_blocks import fused_bottleneck_int8_hwnc
+                if not is_t:
+                    h8 = jnp.transpose(h8, (1, 2, 0, 3))
+                    is_t = True
+                h8 = fused_bottleneck_int8_hwnc(
+                    h8, qb['conv1']['w'][0, 0], qb['conv1']['m'],
+                    qb['conv1']['b'], qb['conv2']['w'], qb['conv2']['m'],
+                    qb['conv2']['b'], qb['conv3']['w'][0, 0],
+                    qb['conv3']['m'], qb['conv3']['b'], qb['sxr'])
+                continue
+            if is_t:
+                h8 = jnp.transpose(h8, (2, 0, 1, 3))
+                is_t = False
             if 'down' not in qb and stride == 1 and 'identity' in feats:
                 from ..ops.pallas_blocks import fused_bottleneck_int8
                 h8 = fused_bottleneck_int8(
@@ -240,6 +258,8 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
                 iden = h8.astype(jnp.float32) * qb['sxr']
             h8 = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
                           ).astype(jnp.int8)
+    if is_t:
+        h8 = jnp.transpose(h8, (2, 0, 1, 3))
     feat = h8.astype(jnp.float32) * q['s_feat']
     pooled = jnp.mean(feat, axis=(1, 2))
     if cfg['dual_head']:
@@ -422,8 +442,11 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
 
     def _kernel_ok(li, bi, qb):
         stride = 2 if (li > 0 and bi == 0) else 1
-        if stride != 1 or qb['conv1']['w'].shape[2] > cap:
+        if qb['conv1']['w'].shape[2] > cap:
             return False
+        if stride != 1:
+            # stride-2 projection (layer2/3/4[0]) — hwnc-only kernel
+            return 'down2' in feats
         if 'down' in qb:
             return 'down1' in feats   # stride-1 projection (layer1[0])
         return ('identity' in feats or 'hwnc' in feats
@@ -447,6 +470,30 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         # values in the compute dtype (0..127 exact in bf16) — the math
         # is identical, only the packed-s8 sublane conversions go away
         out_i8 = not (ok[k] and k + 1 < len(ok) and ok[k + 1])
+        # ...EXCEPT at layer1 size with a float input: a kernel whose
+        # double-buffered in AND out windows are both bf16 at
+        # (64, 64, B, 256) overflows the ~104.5M scoped-VMEM ceiling by
+        # 716K (measured; s8 on either side fits) — emit s8 there
+        if (not out_i8 and 'down' not in qb and h8.dtype != jnp.int8
+                and int(np.prod(h8.shape)) // h8.shape[2 if is_t else 0]
+                > 900_000):
+            out_i8 = True
+        if ok[k] and 'down' in qb and stride == 2:
+            # stride-2 projection (layer2/3/4[0]) in the hwnc layout:
+            # parity-plane conv2, replaces the XLA block + its s8
+            # epilogue with zero boundary relayouts ('down2' feature)
+            if not is_t:
+                h8 = jnp.transpose(h8, (1, 2, 0, 3))
+                is_t = True
+            h8 = _pb.fused_bottleneck_down_s2_i8v2_hwnc(
+                h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                qb['conv2']['w'], qb['conv2']['b'],
+                qb['conv3']['w'][0, 0], qb['conv3']['b'],
+                qb['down']['w'][0, 0], qb['down']['b'],
+                bt_budget=bt_budget, out_int8=out_i8,
+                band_budget=band_budget)
+            k += 1
+            continue
         if ok[k] and 'down' in qb and hwnc_on:
             # stride-1 projection (layer1[0]) in the hwnc layout:
             # replaces the XLA block + its s8 epilogue with zero

@@ -648,8 +648,13 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
         # the N axis is second-minor, so the block's (B, Cin) tail must
         # have B % 8 == 0 (or B == N); steady-state VMEM is the
         # double-buffered in/out windows + the padded scratch (the band
-        # temporaries are bounded separately below)
-        per_img = H * W * Cin * 2 * 2
+        # temporaries are bounded separately below). Account actual I/O
+        # dtype bytes: with float inter-kernel IO the input window is
+        # bf16, not s8 (a fixed *2*2 under-budgeted that case by ~716K
+        # past the scoped-vmem ceiling at layer1).
+        ib = x.dtype.itemsize
+        ob = 1 if out_int8 else w1.dtype.itemsize
+        per_img = H * W * Cin * (ib + ob) * 2
         budget = BT_BUDGET if bt_budget is None else bt_budget
         batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
         while batch_tile > 0 and N % batch_tile:
@@ -662,8 +667,20 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
         # rows per band so cols (9*Cm bf16) + f32 tail (2*Cin f32) stay
         # bounded; unchunked the kernel peaks at 108.29M scoped (OOM).
         # band_budget trades scoped VMEM for fewer, larger band
-        # iterations (bench --band-budget-mb).
-        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        # iterations (bench --band-budget-mb). bf16-in AND bf16-out
+        # (both neighbours pallas, e.g. layer1[1] after the down1
+        # kernel) doubles the double-buffered windows vs the measured
+        # default chain; at layer1 size that overflowed the ~104.5M
+        # scoped ceiling by 716K with 6M bands — shrink the band budget
+        # for oversized windows only, leaving the measured-best default
+        # operating point untouched.
+        if band_budget is not None:
+            bb = band_budget
+        else:
+            # default layer1 windows: s8/bf16 50.3M (measured fine);
+            # the OOM case bf16/bf16 is 67.1M -> threshold between
+            win = H * W * B * Cin * (ib + ob) * 2
+            bb = (6 if win <= 56 * 1024 * 1024 else 4) * 1024 * 1024
         per_row = W * B * (9 * Cm * 2 + Cin * 8)
         rb = max(1, bb // max(per_row, 1))
         while H % rb:
@@ -752,7 +769,9 @@ def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
     Cm = w1.shape[1]
     Cout = w3.shape[1]
     if batch_tile is None:
-        per_img = H * W * max(Cin, Cout) * 2 * 2
+        ib = x.dtype.itemsize
+        ob = 1 if out_int8 else w1.dtype.itemsize
+        per_img = H * W * (Cin * ib + Cout * ob) * 2
         budget = BT_BUDGET if bt_budget is None else bt_budget
         batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
         while batch_tile > 0 and N % batch_tile:
@@ -787,6 +806,252 @@ def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
         interpret=interpret,
     )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
       b3.astype(jnp.float32), wd, bd.astype(jnp.float32))
+
+
+def _bottleneck_down_s2_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
+                                         b2_ref, w3_ref, b3_ref, wd_ref,
+                                         bd_ref, out_ref, pee_ref,
+                                         peo_ref, poe_ref, poo_ref, *,
+                                         bands_in, bands_out):
+    """Layout-native v2 STRIDE-2 projection bottleneck (reference
+    resnet_cls.py Bottleneck with stride-2 conv2 + stride-2 1x1
+    downsample — layer2[0]/layer3[0]/layer4[0]) on the (H, W, B, C)
+    view: (H, W, B, Cin) -> (H/2, W/2, B, Cout).
+
+    conv1 (1x1 s1) output is scattered into FOUR parity-plane
+    scratches with built-in (+1, +1) zero padding:
+      P<rp><cp>[1 + r//2, 1 + c//2] = h1[r, c]  (r%2==rp, c%2==cp)
+    so the stride-2 3x3 conv2 (pad 1) becomes 9 contiguous plane
+    slices — output (y', x') tap (dy, dx) reads input
+    (2y'+dy-1, 2x'+dx-1), i.e. plane (dy&1^1, dx&1^1) at offset
+    (dy+1)//2, (dx+1)//2 — no strided VMEM loads. Replaces the XLA
+    projection block AND its s8 quantize epilogue with zero boundary
+    relayouts (together ~21 ms of the 122 ms serving step in the
+    round-3 trace)."""
+    H, W, B, Cin = x_ref.shape
+    Cout = out_ref.shape[-1]
+    Ho, Wo = H // 2, W // 2
+    Cm = w1_ref.shape[1]
+    cdt = w1_ref.dtype
+    rb = H // bands_in
+    rbo = Ho // bands_out
+
+    pee_ref[:] = jnp.zeros_like(pee_ref)
+    peo_ref[:] = jnp.zeros_like(peo_ref)
+    poe_ref[:] = jnp.zeros_like(poe_ref)
+    poo_ref[:] = jnp.zeros_like(poo_ref)
+    for t in range(bands_in):
+        y0 = t * rb
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
+        h1 = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+        # split row/col parities via axis-split reshape + unit slices
+        # (no strided vector ops)
+        h1 = h1.reshape(rb // 2, 2, Wo, 2, B, Cm)
+        k0 = 1 + y0 // 2
+        pee_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 0, :, 0]
+        peo_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 0, :, 1]
+        poe_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 1, :, 0]
+        poo_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 1, :, 1]
+
+    # tap (dy, dx) -> (plane row-parity, row offset) per the padding
+    # algebra above: dy=0 -> odd rows at y', dy=1 -> even at 1+y',
+    # dy=2 -> odd at 1+y' (same for dx/columns)
+    sel = {0: ('o', 0), 1: ('e', 1), 2: ('o', 1)}
+    planes = {('e', 'e'): pee_ref, ('e', 'o'): peo_ref,
+              ('o', 'e'): poe_ref, ('o', 'o'): poo_ref}
+    w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    for t in range(bands_out):
+        y0 = t * rbo
+        taps = []
+        for dy in range(3):
+            rp, ro = sel[dy]
+            for dx in range(3):
+                cp, co = sel[dx]
+                p = planes[(rp, cp)]
+                taps.append(p[ro + y0:ro + y0 + rbo,
+                              co:co + Wo].reshape(rbo * Wo * B, Cm))
+        cols = jnp.concatenate(taps, axis=1)
+        acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+
+        out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+        # residual: 1x1 stride-2 projection reads x[2y', 2x']
+        xb = x_ref[2 * y0:2 * y0 + 2 * rbo].reshape(
+            rbo, 2, Wo, 2, B, Cin)[:, 0, :, 0]
+        xb = xb.reshape(rbo * Wo * B, Cin).astype(cdt)
+        iden = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.float32)
+        out = out + b3_ref[:] + iden + bd_ref[:]
+        q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+        out_ref[y0:y0 + rbo] = q.astype(out_ref.dtype).reshape(
+            rbo, Wo, B, Cout)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'out_int8', 'bands_in', 'bands_out',
+                                    'band_budget'))
+def fused_bottleneck_down_s2_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
+                                       interpret=False, batch_tile=None,
+                                       bt_budget=None, out_int8=True,
+                                       bands_in=None, bands_out=None,
+                                       band_budget=None):
+    """v2 stride-2 projection bottleneck on the (H, W, N, Cin) view ->
+    (H/2, W/2, N, Cout). Scale algebra per quantize_folded_v2's 'down'
+    entry; parity-plane conv2 per the kernel docstring."""
+    H, W, N, Cin = x.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    Cm = w1.shape[1]
+    Cout = w3.shape[1]
+    Ho, Wo = H // 2, W // 2
+    if batch_tile is None:
+        ib = x.dtype.itemsize
+        ob = 1 if out_int8 else w1.dtype.itemsize
+        per_img = (H * W * Cin * ib + Ho * Wo * Cout * ob) * 2
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands_in is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        per_row = W * B * (Cin * 2 + Cm * 6)     # xb bf16 + h1 f32/bf16
+        rb = max(2, (bb // max(per_row, 1)) // 2 * 2)
+        while H % rb or rb % 2:
+            rb -= 2
+        rb = max(rb, 2)
+        bands_in = H // rb
+    if bands_out is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        per_row = Wo * B * (9 * Cm * 2 + Cout * 8 + Cin * 2)
+        rbo = max(1, bb // max(per_row, 1))
+        while Ho % rbo:
+            rbo -= 1
+        bands_out = Ho // rbo
+    assert H % bands_in == 0 and (H // bands_in) % 2 == 0, (H, bands_in)
+    assert Ho % bands_out == 0, (Ho, bands_out)
+
+    return pl.pallas_call(
+        functools.partial(_bottleneck_down_s2_i8v2_hwnc_kernel,
+                          bands_in=bands_in, bands_out=bands_out),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((Ho, Wo, B, Cout), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (Ho, Wo, N, Cout), jnp.int8 if out_int8 else w1.dtype),
+        scratch_shapes=[pltpu.VMEM((Ho + 1, Wo + 1, B, Cm), w1.dtype)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32), w3,
+      b3.astype(jnp.float32), wd, bd.astype(jnp.float32))
+
+
+def _bottleneck_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
+                                 m2_ref, b2_ref, w3_ref, m3_ref, b3_ref,
+                                 sxr_ref, out_ref, h1p_ref, *, bands):
+    """Full-int8 identity bottleneck on the (H, W, B, C) view: the
+    round-2 int8c math (_bottleneck_int8_kernel — native s8 x s8 -> s32
+    MXU dots + f32 requant epilogues, bit-identical to the XLA int8
+    oracle in models/quantize.py) in the layout-native hwnc form.
+
+    The round-2 NHWC int8 kernels lost to bf16 (19.4 vs 9.2 ms at
+    layer1; PERFORMANCE.md int8 post-mortem) on packed-s8 sublane
+    shuffles: their im2col slices cut across the tiled minor dims.
+    Here the 3x3 taps slice H/W (major dims), the (B, C) tile is
+    untouched, and entry/exit transposes are layout bitcasts — while
+    the s8 MXU runs at 2x the bf16 rate."""
+    H, W, B, Cin = x_ref.shape
+    Cm = w1_ref.shape[1]
+    rb = H // bands
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    for t in range(bands):
+        y0 = t * rb
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
+        acc = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.int32)
+        h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = _rq8(
+            acc, m1_ref[:], b1_ref[:]).reshape(rb, W, B, Cm)
+
+    w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    for t in range(bands):
+        y0 = t * rb
+        cols = jnp.concatenate(
+            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                rb * W * B, Cm)
+             for dy in range(3) for dx in range(3)], axis=1)
+        acc2 = jnp.dot(cols, w2f, preferred_element_type=jnp.int32)
+        h2 = _rq8(acc2, m2_ref[:], b2_ref[:])
+        acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
+        out = (acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:] +
+               xb.astype(jnp.float32) * sxr_ref[0, 0])
+        out_ref[y0:y0 + rb] = jnp.clip(
+            jnp.round(jnp.maximum(out, 0.0)), 0, 127
+        ).astype(jnp.int8).reshape(rb, W, B, Cin)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'bands', 'band_budget'))
+def fused_bottleneck_int8_hwnc(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
+                               sxr, interpret=False, batch_tile=None,
+                               bt_budget=None, bands=None,
+                               band_budget=None):
+    """int8c identity bottleneck on the (H, W, N, Cin) int8 view ->
+    int8 same shape. Args per fused_bottleneck_int8 (w* s8, m*/b* f32
+    per-channel folded scale/bias, sxr f32 scalar); layout/VMEM story
+    per fused_bottleneck_i8v2_hwnc."""
+    H, W, N, Cin = x.shape
+    Cm = w1.shape[1]
+    if batch_tile is None:
+        per_img = H * W * Cin * 2 * 2       # s8 in + s8 out, dbuffered
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        per_row = W * B * (9 * Cm + Cin * 8)
+        rb = max(1, bb // max(per_row, 1))
+        while H % rb:
+            rb -= 1
+        bands = H // rb
+    assert H % bands == 0, (H, bands)
+
+    return pl.pallas_call(
+        functools.partial(_bottleneck_int8_hwnc_kernel, bands=bands),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, B, Cm), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, m1.astype(jnp.float32), b1.astype(jnp.float32),
+      w2, m2.astype(jnp.float32), b2.astype(jnp.float32),
+      w3, m3.astype(jnp.float32), b3.astype(jnp.float32),
+      jnp.asarray(sxr, jnp.float32).reshape(1, 1))
 
 
 def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):

@@ -104,6 +104,34 @@ def test_int8_full_path_pallas_interpret_equals_xla(small_net):
     np.testing.assert_array_equal(got, want)
 
 
+def test_int8_full_path_hwnc_pallas_interpret_equals_xla(small_net):
+    """The layout-native (hwnc) int8 identity kernel carries the same
+    integer arithmetic as the XLA oracle — full-trunk bit exactness,
+    including the hwnc<->nhwc view transposes around projection
+    blocks."""
+    folded, cfg, q, xs = small_net
+    from instaorder_tpu.ops import pallas_blocks
+
+    x = jnp.asarray(xs[1])
+    want = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=False))
+
+    names = ('fused_bottleneck_int8_hwnc', 'fused_bottleneck_down_int8',
+             'fused_stem_int8')
+    origs = {n: getattr(pallas_blocks, n) for n in names}
+    for n in names:
+        setattr(pallas_blocks, n,
+                (lambda o: lambda *a, **kw: o(*a, **dict(kw,
+                                                         interpret=True)))(
+                    origs[n]))
+    try:
+        got = np.asarray(Q.apply_folded_int8(
+            q, cfg, x, use_pallas=('hwnc', 'down', 'stem')))
+    finally:
+        for n in names:
+            setattr(pallas_blocks, n, origs[n])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_int8_siamese_swap_fold(small_net):
     folded, cfg, q, xs = small_net
     x = jnp.asarray(xs[0])
@@ -252,7 +280,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
 
     names = ('fused_bottleneck_i8v2', 'fused_bottleneck_down_i8v2',
              'fused_bottleneck_i8v2_hwnc', 'fused_bottleneck_i8v2_hwnc_stage',
-             'fused_bottleneck_down_i8v2_hwnc')
+             'fused_bottleneck_down_i8v2_hwnc',
+             'fused_bottleneck_down_s2_i8v2_hwnc')
     origs = {n: getattr(pallas_blocks, n) for n in names}
     for n in names:
         setattr(pallas_blocks, n,
@@ -270,6 +299,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
             qv2, cfg, x, use_pallas=('hwncs',)))
         got_hwnc_d1 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc', 'down1')))
+        got_hwnc_d2 = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down1', 'down2')))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
@@ -279,6 +310,7 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     assert np.abs(got_d1 - want).max() / scale < 0.02
     assert np.abs(got_hwnc - want).max() / scale < 0.02
     assert np.abs(got_hwnc_d1 - want).max() / scale < 0.02
+    assert np.abs(got_hwnc_d2 - want).max() / scale < 0.02
     # stage-fused hwnc carries the same quantized integers through the
     # run as per-block hwnc: identical math, VMEM-resident activation
     np.testing.assert_allclose(got_hwncs, got_hwnc, atol=1e-4)
