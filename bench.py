@@ -69,6 +69,10 @@ def main():
                     choices=['im2col', 'acc'],
                     help='hwnc-kernel 3x3 strategy: one big im2col '
                          'matmul vs 9 accumulating tap matmuls')
+    ap.add_argument('--hwnc-io', default='float', choices=['float', 's8'],
+                    help='inter-pallas-kernel storage: float keeps '
+                         'quantized values in bf16 (no s8 pack/unpack), '
+                         's8 halves the inter-kernel HBM traffic')
     ap.add_argument('--prep-stage1', default='f32',
                     choices=['f32', 'bf16'],
                     help='storage dtype of the prep row-interp '
@@ -164,12 +168,12 @@ def main():
                 Q.apply_folded_v2, cfg=cfg, use_pallas=pallas,
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
                 bt_budget=bt_budget, band_budget=band_budget,
-                conv2_mode=args.hwnc_conv2)
+                conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io)
             apply_sia = functools.partial(
                 Q.apply_folded_v2_siamese, cfg=cfg, use_pallas=pallas,
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
                 bt_budget=bt_budget, band_budget=band_budget,
-                conv2_mode=args.hwnc_conv2)
+                conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io)
         else:
             qparams = Q.quantize_folded_resnet(folded_f32, cfg, scales)
             if args.bt_budget_mb:

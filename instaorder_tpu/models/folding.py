@@ -133,9 +133,16 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
         h2 = fused_stem(x, swapped_conv1['w'], swapped_conv1['b'])
         h = jnp.concatenate([h1, h2], axis=0)
     else:
-        h1 = _xla_stem(params['conv1'], x, chunks=stem_chunks)
-        h2 = _xla_stem(swapped_conv1, x, chunks=stem_chunks)
-        h = jnp.concatenate([h1, h2], axis=0)
+        # double-width stem: both directions' conv1 concatenated on the
+        # output-channel axis — one conv reads the input once at full
+        # 128-lane MXU width; the channel halves become the batch halves
+        wcat = jnp.concatenate([params['conv1']['w'],
+                                swapped_conv1['w']], axis=3)
+        bcat = jnp.concatenate([params['conv1']['b'],
+                                swapped_conv1['b']])
+        hcat = _xla_stem({'w': wcat, 'b': bcat}, x, chunks=stem_chunks)
+        c = hcat.shape[-1] // 2
+        h = jnp.concatenate([hcat[..., :c], hcat[..., c:]], axis=0)
     out = _apply_trunk(params, cfg, h, use_pallas=use_pallas,
                        iden_cin_cap=iden_cin_cap, bt_budget=bt_budget)
     if isinstance(out, tuple):

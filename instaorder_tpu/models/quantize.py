@@ -421,8 +421,14 @@ _HWNC_CIN_CAP = 2048
 
 def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                     bt_budget=None, band_budget=None,
-                    conv2_mode='im2col'):
-    """int8 stem output -> boundary-int8 trunk -> f32 head logits."""
+                    conv2_mode='im2col', hwnc_io='float'):
+    """int8 stem output -> boundary-int8 trunk -> f32 head logits.
+
+    hwnc_io: inter-pallas-kernel storage dtype — 'float' keeps the
+    quantized integer values in the compute dtype between consecutive
+    kernels (no packed-s8 sublane conversions; the measured round-3
+    default), 's8' stores s8 everywhere (halves the inter-kernel HBM
+    traffic at the cost of per-element pack/unpack on the VPU)."""
     from .folding import _pallas_features as shared
     from ..ops import pallas_blocks as _pb
     feats = shared(use_pallas, default=_PALLAS_DEFAULT_V2)
@@ -469,7 +475,8 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         # consecutive pallas kernels keep the SAME quantized integer
         # values in the compute dtype (0..127 exact in bf16) — the math
         # is identical, only the packed-s8 sublane conversions go away
-        out_i8 = not (ok[k] and k + 1 < len(ok) and ok[k + 1])
+        out_i8 = (hwnc_io == 's8'
+                  or not (ok[k] and k + 1 < len(ok) and ok[k + 1]))
         # ...EXCEPT at layer1 size with a float input: a kernel whose
         # double-buffered in AND out windows are both bf16 at
         # (64, 64, B, 256) overflows the ~104.5M scoped-VMEM ceiling by
@@ -591,29 +598,40 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
 
 def apply_folded_v2(q, cfg, x, use_pallas=True, stem_chunks=1,
                     iden_cin_cap=None, bt_budget=None, band_budget=None,
-                    conv2_mode='im2col'):
+                    conv2_mode='im2col', hwnc_io='float'):
     """Unquantized prep output -> boundary-int8 trunk -> f32 logits."""
     h8 = _stem_v2(q, x, chunks=stem_chunks)
     return _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                            iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
-                           band_budget=band_budget, conv2_mode=conv2_mode)
+                           band_budget=band_budget, conv2_mode=conv2_mode,
+                           hwnc_io=hwnc_io)
 
 
 def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
                             iden_cin_cap=None, bt_budget=None,
-                            band_budget=None, conv2_mode='im2col'):
+                            band_budget=None, conv2_mode='im2col',
+                            hwnc_io='float'):
     """Both swap directions via the folded-conv1 trick
     (models/folding.py:95-140): conv1(swap(x)) == conv1'(x) with input
     channel rows 0,1 exchanged."""
     cin = q['conv1']['w'].shape[2]
     perm = [1, 0] + list(range(2, cin))
     conv1_sw = dict(q['conv1'], w=q['conv1']['w'][:, :, perm, :])
-    h1 = _stem_v2(q, x, chunks=stem_chunks)
-    h2 = _stem_v2(dict(q, conv1=conv1_sw), x, chunks=stem_chunks)
-    h8 = jnp.concatenate([h1, h2], axis=0)
+    # double-width stem: both directions' conv1 weights concatenated on
+    # the output-channel axis — ONE conv reads the input once at full
+    # 128-lane MXU width, then the channel halves become the two batch
+    # halves (the two separate 64-wide stems each ran the MXU at 50%
+    # width and read the 256^2 input twice; trace: 2x3.84 + 2x2.56 ms)
+    wcat = jnp.concatenate([q['conv1']['w'], conv1_sw['w']], axis=3)
+    bcat = jnp.concatenate([q['conv1']['b'], conv1_sw['b']])
+    hcat = _stem_v2(dict(q, conv1={'w': wcat, 'b': bcat}), x,
+                    chunks=stem_chunks)
+    c = hcat.shape[-1] // 2
+    h8 = jnp.concatenate([hcat[..., :c], hcat[..., c:]], axis=0)
     out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                           iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
-                          band_budget=band_budget, conv2_mode=conv2_mode)
+                          band_budget=band_budget, conv2_mode=conv2_mode,
+                          hwnc_io=hwnc_io)
     n = x.shape[0]
     if isinstance(out, tuple):
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)

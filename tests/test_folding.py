@@ -33,6 +33,27 @@ def test_folded_dual_head():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-4)
 
 
+def test_folded_siamese_double_width_stem():
+    """apply_folded_siamese (one double-width stem conv, channel halves
+    -> batch halves) == two apply_folded passes with swapped mask
+    channels (reference inference.py:196-214 runs both orders)."""
+    from instaorder_tpu.models.folding import apply_folded_siamese
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(3), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 64, 64, 5).astype(np.float32)
+    folded = fold_resnet(params, stats, cfg)
+    o1, o2 = apply_folded_siamese(folded, cfg, x)
+    perm = [1, 0, 2, 3, 4]
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(apply_folded(folded, cfg, x)),
+        atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(o2),
+        np.asarray(apply_folded(folded, cfg, x[..., perm])), atol=2e-4)
+
+
 def test_folded_bf16_close():
     import jax.numpy as jnp
     params, stats, cfg = resnet.init(
