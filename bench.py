@@ -66,9 +66,11 @@ def main():
                          'larger -> fewer, bigger band iterations '
                          '(default 6)')
     ap.add_argument('--hwnc-conv2', default='im2col',
-                    choices=['im2col', 'acc'],
+                    choices=['im2col', 'acc', 'scatter'],
                     help='hwnc-kernel 3x3 strategy: one big im2col '
-                         'matmul vs 9 accumulating tap matmuls')
+                         'matmul (K=9*Cm, N=Cm), 9 accumulating tap '
+                         'matmuls, or one full-width matmul (N=9*Cm) '
+                         'plus 9 shifted adds')
     ap.add_argument('--hwnc-io', default='float', choices=['float', 's8'],
                     help='inter-pallas-kernel storage: float keeps '
                          'quantized values in bf16 (no s8 pack/unpack), '

@@ -608,6 +608,27 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     rb * W * B, Cm)
                  for dy in range(3) for dx in range(3)], axis=1)
             acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        elif conv2_mode == 'scatter':
+            # ONE full-width matmul (N = 9*Cm lanes) over the padded
+            # band, then 9 shifted adds: out[y, x] = sum_taps
+            # P[y+dy, x+dx, tap]. At Cm=64 (layer1) the im2col matmul's
+            # N=64 runs the MXU at half width; this runs full width at
+            # the cost of the (rb+2)(W+2)/(rb*W) padded-band overhang.
+            w2sc = jnp.concatenate(
+                [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
+                axis=1)                                     # (Cm, 9*Cm)
+            pband = h1p_ref[y0:y0 + rb + 2].reshape(
+                (rb + 2) * (W + 2) * B, Cm)
+            P = jnp.dot(pband, w2sc,
+                        preferred_element_type=jnp.float32).reshape(
+                rb + 2, W + 2, B, 9 * Cm)
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = (dy * 3 + dx) * Cm
+                    sl = P[dy:dy + rb, dx:dx + W, :, t:t + Cm].reshape(
+                        rb * W * B, Cm)
+                    acc = sl if acc is None else acc + sl
         else:
             # 'acc': 9 accumulating K=Cm matmuls — no materialized
             # (M, 9*Cm) cols buffer, trading MXU contraction depth for
@@ -681,7 +702,13 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
             # the OOM case bf16/bf16 is 67.1M -> threshold between
             win = H * W * B * Cin * (ib + ob) * 2
             bb = (6 if win <= 56 * 1024 * 1024 else 4) * 1024 * 1024
-        per_row = W * B * (9 * Cm * 2 + Cin * 8)
+        if conv2_mode == 'scatter':
+            # P is ((rb+2), W+2, B, 9*Cm) f32 — account the 2-row
+            # overhang up front, then the per-row cost
+            per_row = (W + 2) * B * 9 * Cm * 4 + W * B * Cin * 8
+            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * 4)
+        else:
+            per_row = W * B * (9 * Cm * 2 + Cin * 8)
         rb = max(1, bb // max(per_row, 1))
         while H % rb:
             rb -= 1

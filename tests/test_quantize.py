@@ -303,6 +303,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
             qv2, cfg, x, use_pallas=('hwnc', 'down1', 'down2')))
         got_hwnc_s8 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc',), hwnc_io='s8'))
+        got_hwnc_sc = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc',), conv2_mode='scatter'))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
@@ -319,6 +321,9 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     # s8 inter-kernel storage holds the same quantized integers as the
     # float storage (0..127 exact in bf16): bit-identical results
     np.testing.assert_allclose(got_hwnc_s8, got_hwnc, atol=1e-4)
+    # scatter conv2 (full-width matmul + shifted adds) reorders the
+    # f32 tap accumulation; boundary round ties may flip 1 LSB
+    assert np.abs(got_hwnc_sc - want).max() / scale < 0.02
 
 
 def test_v2_siamese_swap_fold(v2_net):
