@@ -76,7 +76,8 @@ def build_megastep(args):
         if args.dtype == 'int8':     # v2: boundary storage, bf16 compute
             qp = Q.quantize_folded_v2(folded_f32, cfg, scales)
             sia = lambda qp, x: Q.apply_folded_v2_siamese(
-                qp, cfg, x, use_pallas=pallas, stem_chunks=1)
+                qp, cfg, x, use_pallas=pallas, stem_chunks=1,
+                conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io)
         else:                        # full int8 compute (round 2)
             qp = Q.quantize_folded_resnet(folded_f32, cfg, scales)
             sia = lambda qp, x: Q.apply_folded_int8_siamese(
@@ -143,6 +144,9 @@ def main():
     ap.add_argument('--pallas-features', default=None)
     ap.add_argument('--dtype', default='bf16',
                     choices=['bf16', 'int8', 'int8c'])
+    ap.add_argument('--hwnc-conv2', default='im2col',
+                    choices=['im2col', 'acc', 'scatter'])
+    ap.add_argument('--hwnc-io', default='float', choices=['float', 's8'])
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--out', default='/tmp/instaorder_trace')
     args = ap.parse_args()
