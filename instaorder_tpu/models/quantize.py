@@ -514,7 +514,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                 qb['conv3']['w'][0, 0], qb['conv3']['b'],
                 qb['down']['w'][0, 0], qb['down']['b'],
                 bt_budget=bt_budget, out_int8=out_i8,
-                band_budget=band_budget)
+                band_budget=band_budget, conv2_mode=conv2_mode)
             k += 1
             continue
         if ok[k] and 'down' not in qb and hwnc_on:

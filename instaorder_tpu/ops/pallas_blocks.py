@@ -740,14 +740,20 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
 
 def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
                                       b2_ref, w3_ref, b3_ref, wd_ref,
-                                      bd_ref, out_ref, h1p_ref, *, bands):
+                                      bd_ref, out_ref, h1p_ref, *, bands,
+                                      conv2_mode='im2col'):
     """Layout-native v2 stride-1 PROJECTION bottleneck (ResNet-50
     layer1[0], reference resnet_cls.py Bottleneck-with-downsample) on
     the (H, W, B, C) view: like _bottleneck_i8v2_hwnc_kernel but the
     residual is a 1x1 channel projection (wd: Cin -> Cout) and
     Cout != Cin. Replaces the XLA layer1[0] block AND its s8
     clamp_convert epilogue (5.8 ms at serving batch in the round-3
-    trace) with zero boundary relayouts."""
+    trace) with zero boundary relayouts.
+
+    conv3 + the projection run as ONE K-packed matmul
+    [h2 | x] @ [[w3], [wd]]: at layer1 each alone is a K=64 half-depth
+    contraction; packed it is K=128 full depth AND the residual add
+    comes out of the MXU for free."""
     H, W, B, Cin = x_ref.shape
     Cout = out_ref.shape[-1]
     Cm = w1_ref.shape[1]
@@ -764,19 +770,37 @@ def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
             rb, W, B, Cm)
 
     w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    w3d = jnp.concatenate([w3_ref[:], wd_ref[:]], axis=0)  # (Cm+Cin, Co)
     for t in range(bands):
         y0 = t * rb
-        cols = jnp.concatenate(
-            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
-                rb * W * B, Cm)
-             for dy in range(3) for dx in range(3)], axis=1)
-        acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        if conv2_mode == 'scatter':
+            w2sc = jnp.concatenate(
+                [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
+                axis=1)
+            pband = h1p_ref[y0:y0 + rb + 2].reshape(
+                (rb + 2) * (W + 2) * B, Cm)
+            P = jnp.dot(pband, w2sc,
+                        preferred_element_type=jnp.float32).reshape(
+                rb + 2, W + 2, B, 9 * Cm)
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    tp = (dy * 3 + dx) * Cm
+                    sl = P[dy:dy + rb, dx:dx + W, :,
+                           tp:tp + Cm].reshape(rb * W * B, Cm)
+                    acc = sl if acc is None else acc + sl
+        else:
+            cols = jnp.concatenate(
+                [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                    rb * W * B, Cm)
+                 for dy in range(3) for dx in range(3)], axis=1)
+            acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
         h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
 
-        out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
-        iden = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.float32)
-        out = out + b3_ref[:] + iden + bd_ref[:]
+        out = jnp.dot(jnp.concatenate([h2, xb], axis=1), w3d,
+                      preferred_element_type=jnp.float32)
+        out = out + b3_ref[:] + bd_ref[:]
         q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
         out_ref[y0:y0 + rb] = q.astype(out_ref.dtype).reshape(
             rb, W, B, Cout)
@@ -784,11 +808,13 @@ def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'batch_tile', 'bt_budget',
-                                    'out_int8', 'bands', 'band_budget'))
+                                    'out_int8', 'bands', 'band_budget',
+                                    'conv2_mode'))
 def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
                                     interpret=False, batch_tile=None,
                                     bt_budget=None, out_int8=True,
-                                    bands=None, band_budget=None):
+                                    bands=None, band_budget=None,
+                                    conv2_mode='im2col'):
     """v2 stride-1 projection bottleneck on the (H, W, N, Cin) view ->
     (H, W, N, Cout). Scale algebra per quantize_folded_v2's 'down'
     entry; layout/VMEM story per fused_bottleneck_i8v2_hwnc."""
@@ -809,7 +835,11 @@ def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
     if bands is None:
         bb = 6 * 1024 * 1024 if band_budget is None else band_budget
-        per_row = W * B * (9 * Cm * 2 + Cout * 8)
+        if conv2_mode == 'scatter':
+            per_row = (W + 2) * B * 9 * Cm * 4 + W * B * Cout * 8
+            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * 4)
+        else:
+            per_row = W * B * (9 * Cm * 2 + Cout * 8)
         rb = max(1, bb // max(per_row, 1))
         while H % rb:
             rb -= 1
@@ -817,7 +847,8 @@ def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
     assert H % bands == 0, (H, bands)
 
     return pl.pallas_call(
-        functools.partial(_bottleneck_down_i8v2_hwnc_kernel, bands=bands),
+        functools.partial(_bottleneck_down_i8v2_hwnc_kernel, bands=bands,
+                          conv2_mode=conv2_mode),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
