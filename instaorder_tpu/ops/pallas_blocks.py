@@ -919,6 +919,10 @@ def _bottleneck_down_s2_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
     planes = {('e', 'e'): pee_ref, ('e', 'o'): peo_ref,
               ('o', 'e'): poe_ref, ('o', 'o'): poo_ref}
     w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    # conv3 + projection as ONE K-packed matmul [h2 | x_s2] @ [[w3],[wd]]
+    # (K = Cm + Cin, lane-aligned at every stage) — the residual add
+    # comes out of the MXU for free instead of a separate dot + VPU add
+    w3d = jnp.concatenate([w3_ref[:], wd_ref[:]], axis=0)
     for t in range(bands_out):
         y0 = t * rbo
         taps = []
@@ -933,13 +937,13 @@ def _bottleneck_down_s2_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
         acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
         h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
 
-        out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
         # residual: 1x1 stride-2 projection reads x[2y', 2x']
         xb = x_ref[2 * y0:2 * y0 + 2 * rbo].reshape(
             rbo, 2, Wo, 2, B, Cin)[:, 0, :, 0]
         xb = xb.reshape(rbo * Wo * B, Cin).astype(cdt)
-        iden = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.float32)
-        out = out + b3_ref[:] + iden + bd_ref[:]
+        out = jnp.dot(jnp.concatenate([h2, xb], axis=1), w3d,
+                      preferred_element_type=jnp.float32)
+        out = out + b3_ref[:] + bd_ref[:]
         q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
         out_ref[y0:y0 + rbo] = q.astype(out_ref.dtype).reshape(
             rbo, Wo, B, Cout)
