@@ -220,6 +220,25 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
                     qb['conv2']['b'], qb['conv3']['w'][0, 0],
                     qb['conv3']['m'], qb['conv3']['b'], qb['sxr'])
                 continue
+            if 'down' in qb and 'hwnc' in feats and 'down' in feats:
+                # layout-native int8 projection kernels: the NHWC down
+                # kernels cost a relayout copy at each hwnc boundary;
+                # these stay in the (H, W, N, C) view
+                from ..ops.pallas_blocks import (
+                    fused_bottleneck_down_int8_hwnc,
+                    fused_bottleneck_down_s2_int8_hwnc)
+                if not is_t:
+                    h8 = jnp.transpose(h8, (1, 2, 0, 3))
+                    is_t = True
+                fn = (fused_bottleneck_down_s2_int8_hwnc if stride == 2
+                      else fused_bottleneck_down_int8_hwnc)
+                h8 = fn(h8, qb['conv1']['w'][0, 0], qb['conv1']['m'],
+                        qb['conv1']['b'], qb['conv2']['w'],
+                        qb['conv2']['m'], qb['conv2']['b'],
+                        qb['conv3']['w'][0, 0], qb['conv3']['m'],
+                        qb['conv3']['b'], qb['down']['w'][0, 0],
+                        qb['down']['m'], qb['down']['b'])
+                continue
             if is_t:
                 h8 = jnp.transpose(h8, (2, 0, 1, 3))
                 is_t = False

@@ -1116,6 +1116,230 @@ def fused_bottleneck_int8_hwnc(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
       jnp.asarray(sxr, jnp.float32).reshape(1, 1))
 
 
+def _bottleneck_down_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref,
+                                      w2_ref, m2_ref, b2_ref, w3_ref,
+                                      m3_ref, b3_ref, wd_ref, md_ref,
+                                      bd_ref, out_ref, h1p_ref, *, bands):
+    """Full-int8 stride-1 PROJECTION bottleneck (ResNet-50 layer1[0],
+    reference resnet_cls.py Bottleneck-with-downsample) on the
+    (H, W, B, C) view: _bottleneck_down_int8_kernel's requant math in
+    the layout-native hwnc form (see _bottleneck_int8_hwnc_kernel).
+    conv3 and the projection keep SEPARATE s32 dots — their requant
+    multipliers m3/md differ per channel, so the v2 kernels' K-packed
+    [h2|x] matmul does not apply to quantized arithmetic."""
+    H, W, B, Cin = x_ref.shape
+    Cout = out_ref.shape[-1]
+    Cm = w1_ref.shape[1]
+    rb = H // bands
+
+    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    for t in range(bands):
+        y0 = t * rb
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
+        acc = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.int32)
+        h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = _rq8(
+            acc, m1_ref[:], b1_ref[:]).reshape(rb, W, B, Cm)
+
+    w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    for t in range(bands):
+        y0 = t * rb
+        cols = jnp.concatenate(
+            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                rb * W * B, Cm)
+             for dy in range(3) for dx in range(3)], axis=1)
+        acc2 = jnp.dot(cols, w2f, preferred_element_type=jnp.int32)
+        h2 = _rq8(acc2, m2_ref[:], b2_ref[:])
+        acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
+        y = acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:]
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
+        accd = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.int32)
+        iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
+        out_ref[y0:y0 + rb] = jnp.clip(
+            jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+        ).astype(jnp.int8).reshape(rb, W, B, Cout)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'bands', 'band_budget'))
+def fused_bottleneck_down_int8_hwnc(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
+                                    wd, md, bd, interpret=False,
+                                    batch_tile=None, bt_budget=None,
+                                    bands=None, band_budget=None):
+    """int8c stride-1 projection bottleneck on the (H, W, N, Cin) int8
+    view -> int8 (H, W, N, Cout). Args per fused_bottleneck_down_int8;
+    layout/VMEM story per fused_bottleneck_int8_hwnc."""
+    H, W, N, Cin = x.shape
+    Cm = w1.shape[1]
+    Cout = w3.shape[1]
+    if batch_tile is None:
+        per_img = H * W * (Cin + Cout) * 2       # s8 in + s8 out, dbuf
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        per_row = W * B * (9 * Cm + (Cin + 2 * Cout) * 4)
+        rb = max(1, bb // max(per_row, 1))
+        while H % rb:
+            rb -= 1
+        bands = H // rb
+    assert H % bands == 0, (H, bands)
+
+    return pl.pallas_call(
+        functools.partial(_bottleneck_down_int8_hwnc_kernel, bands=bands),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=pl.BlockSpec((H, W, B, Cout), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W, N, Cout), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, B, Cm), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, m1.astype(jnp.float32), b1.astype(jnp.float32),
+      w2, m2.astype(jnp.float32), b2.astype(jnp.float32),
+      w3, m3.astype(jnp.float32), b3.astype(jnp.float32),
+      wd, md.astype(jnp.float32), bd.astype(jnp.float32))
+
+
+def _bottleneck_down_s2_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref,
+                                         w2_ref, m2_ref, b2_ref, w3_ref,
+                                         m3_ref, b3_ref, wd_ref, md_ref,
+                                         bd_ref, out_ref, pee_ref, peo_ref,
+                                         poe_ref, poo_ref, *, bands_in,
+                                         bands_out):
+    """Full-int8 STRIDE-2 projection bottleneck on the (H, W, B, C)
+    view: parity-plane conv2 per _bottleneck_down_s2_i8v2_hwnc_kernel
+    (tap (dy, dx) -> plane (dy&1^1, dx&1^1) at offset ((dy+1)//2,
+    (dx+1)//2)), requant math per _bottleneck_down_int8_kernel. The
+    parity planes hold REQUANTIZED s8 h1, so conv2 stays a native
+    s8 x s8 -> s32 MXU contraction."""
+    H, W, B, Cin = x_ref.shape
+    Cout = out_ref.shape[-1]
+    Ho, Wo = H // 2, W // 2
+    Cm = w1_ref.shape[1]
+    rb = H // bands_in
+    rbo = Ho // bands_out
+
+    pee_ref[:] = jnp.zeros_like(pee_ref)
+    peo_ref[:] = jnp.zeros_like(peo_ref)
+    poe_ref[:] = jnp.zeros_like(poe_ref)
+    poo_ref[:] = jnp.zeros_like(poo_ref)
+    for t in range(bands_in):
+        y0 = t * rb
+        xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
+        acc = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.int32)
+        h1 = _rq8(acc, m1_ref[:], b1_ref[:])
+        h1 = h1.reshape(rb // 2, 2, Wo, 2, B, Cm)
+        k0 = 1 + y0 // 2
+        pee_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 0, :, 0]
+        peo_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 0, :, 1]
+        poe_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 1, :, 0]
+        poo_ref[k0:k0 + rb // 2, 1:1 + Wo] = h1[:, 1, :, 1]
+
+    sel = {0: ('o', 0), 1: ('e', 1), 2: ('o', 1)}
+    planes = {('e', 'e'): pee_ref, ('e', 'o'): peo_ref,
+              ('o', 'e'): poe_ref, ('o', 'o'): poo_ref}
+    w2f = w2_ref[:].reshape(9 * Cm, Cm)
+    for t in range(bands_out):
+        y0 = t * rbo
+        taps = []
+        for dy in range(3):
+            rp, ro = sel[dy]
+            for dx in range(3):
+                cp, co = sel[dx]
+                p = planes[(rp, cp)]
+                taps.append(p[ro + y0:ro + y0 + rbo,
+                              co:co + Wo].reshape(rbo * Wo * B, Cm))
+        cols = jnp.concatenate(taps, axis=1)
+        acc2 = jnp.dot(cols, w2f, preferred_element_type=jnp.int32)
+        h2 = _rq8(acc2, m2_ref[:], b2_ref[:])
+        acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
+        y = acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:]
+        xb = x_ref[2 * y0:2 * y0 + 2 * rbo].reshape(
+            rbo, 2, Wo, 2, B, Cin)[:, 0, :, 0]
+        xb = xb.reshape(rbo * Wo * B, Cin)
+        accd = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.int32)
+        iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
+        out_ref[y0:y0 + rbo] = jnp.clip(
+            jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+        ).astype(jnp.int8).reshape(rbo, Wo, B, Cout)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('interpret', 'batch_tile', 'bt_budget',
+                                    'bands_in', 'bands_out', 'band_budget'))
+def fused_bottleneck_down_s2_int8_hwnc(x, w1, m1, b1, w2, m2, b2, w3, m3,
+                                       b3, wd, md, bd, interpret=False,
+                                       batch_tile=None, bt_budget=None,
+                                       bands_in=None, bands_out=None,
+                                       band_budget=None):
+    """int8c stride-2 projection bottleneck on the (H, W, N, Cin) int8
+    view -> int8 (H/2, W/2, N, Cout)."""
+    H, W, N, Cin = x.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    Cm = w1.shape[1]
+    Cout = w3.shape[1]
+    Ho, Wo = H // 2, W // 2
+    if batch_tile is None:
+        per_img = (H * W * Cin + Ho * Wo * Cout) * 2    # s8, dbuffered
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands_in is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        per_row = W * B * (Cin + Cm * 4)        # xb s8 + h1 s32/f32
+        rb = max(2, (bb // max(per_row, 1)) // 2 * 2)
+        while H % rb or rb % 2:
+            rb -= 2
+        rb = max(rb, 2)
+        bands_in = H // rb
+    if bands_out is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
+        per_row = Wo * B * (9 * Cm + (Cin + 2 * Cout) * 4)
+        rbo = max(1, bb // max(per_row, 1))
+        while Ho % rbo:
+            rbo -= 1
+        bands_out = Ho // rbo
+    assert H % bands_in == 0 and (H // bands_in) % 2 == 0, (H, bands_in)
+    assert Ho % bands_out == 0, (Ho, bands_out)
+
+    return pl.pallas_call(
+        functools.partial(_bottleneck_down_s2_int8_hwnc_kernel,
+                          bands_in=bands_in, bands_out=bands_out),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=pl.BlockSpec((Ho, Wo, B, Cout), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ho, Wo, N, Cout), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((Ho + 1, Wo + 1, B, Cm), jnp.int8)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, m1.astype(jnp.float32), b1.astype(jnp.float32),
+      w2, m2.astype(jnp.float32), b2.astype(jnp.float32),
+      w3, m3.astype(jnp.float32), b3.astype(jnp.float32),
+      wd, md.astype(jnp.float32), bd.astype(jnp.float32))
+
+
 def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
     """Run `nblocks` consecutive v2 identity bottlenecks on one (H, W,
     B, C) tile with the activation resident in VMEM across blocks — the

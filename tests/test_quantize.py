@@ -116,7 +116,8 @@ def test_int8_full_path_hwnc_pallas_interpret_equals_xla(small_net):
     want = np.asarray(Q.apply_folded_int8(q, cfg, x, use_pallas=False))
 
     names = ('fused_bottleneck_int8_hwnc', 'fused_bottleneck_down_int8',
-             'fused_stem_int8')
+             'fused_bottleneck_down_int8_hwnc',
+             'fused_bottleneck_down_s2_int8_hwnc', 'fused_stem_int8')
     origs = {n: getattr(pallas_blocks, n) for n in names}
     for n in names:
         setattr(pallas_blocks, n,
