@@ -42,6 +42,24 @@ class SummaryLogger:
 
     def flush(self):
         if self._tb is not None:
+            # tensorboardX's flush() writes the FILE but does not drain
+            # the async event queue (EventFileWriter._event_queue is
+            # consumed by a worker thread) — scalars added just before
+            # flush() can still be in flight. Drain it first so flush()
+            # means "everything scalar()'d so far is on disk".
+            import time
+            writers = getattr(self._tb, 'all_writers', None) or {}
+            for w in writers.values():
+                q = getattr(getattr(w, 'event_writer', None),
+                            '_event_queue', None)
+                if q is None:
+                    continue
+                deadline = time.time() + 5.0
+                while not q.empty() and time.time() < deadline:
+                    time.sleep(0.01)
+                # the worker may have popped the last event but not yet
+                # handed it to the file writer; give it a beat
+                time.sleep(0.05)
             self._tb.flush()
 
     def close(self):
