@@ -66,7 +66,7 @@ def main():
                          'larger -> fewer, bigger band iterations '
                          '(default 6)')
     ap.add_argument('--hwnc-conv2', default='im2col',
-                    choices=['im2col', 'acc', 'scatter'],
+                    choices=['im2col', 'acc', 'scatter', 'scatter16'],
                     help='hwnc-kernel 3x3 strategy: one big im2col '
                          'matmul (K=9*Cm, N=Cm), 9 accumulating tap '
                          'matmuls, or one full-width matmul (N=9*Cm) '

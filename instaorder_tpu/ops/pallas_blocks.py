@@ -608,27 +608,33 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     rb * W * B, Cm)
                  for dy in range(3) for dx in range(3)], axis=1)
             acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
-        elif conv2_mode == 'scatter':
+        elif conv2_mode in ('scatter', 'scatter16'):
             # ONE full-width matmul (N = 9*Cm lanes) over the padded
             # band, then 9 shifted adds: out[y, x] = sum_taps
             # P[y+dy, x+dx, tap]. At Cm=64 (layer1) the im2col matmul's
             # N=64 runs the MXU at half width; this runs full width at
             # the cost of the (rb+2)(W+2)/(rb*W) padded-band overhang.
+            # 'scatter16' stores the tap products bf16 (halves the VPU
+            # read traffic of the 9 shifted adds; the f32 accumulate of
+            # bf16-rounded taps can flip boundary round() ties 1 LSB).
             w2sc = jnp.concatenate(
                 [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
                 axis=1)                                     # (Cm, 9*Cm)
             pband = h1p_ref[y0:y0 + rb + 2].reshape(
                 (rb + 2) * (W + 2) * B, Cm)
             P = jnp.dot(pband, w2sc,
-                        preferred_element_type=jnp.float32).reshape(
-                rb + 2, W + 2, B, 9 * Cm)
+                        preferred_element_type=jnp.float32)
+            if conv2_mode == 'scatter16':
+                P = P.astype(jnp.bfloat16)
+            P = P.reshape(rb + 2, W + 2, B, 9 * Cm)
             acc = None
             for dy in range(3):
                 for dx in range(3):
                     t = (dy * 3 + dx) * Cm
                     sl = P[dy:dy + rb, dx:dx + W, :, t:t + Cm].reshape(
                         rb * W * B, Cm)
-                    acc = sl if acc is None else acc + sl
+                    acc = (sl.astype(jnp.float32) if acc is None
+                           else acc + sl)
         else:
             # 'acc': 9 accumulating K=Cm matmuls — no materialized
             # (M, 9*Cm) cols buffer, trading MXU contraction depth for
@@ -702,11 +708,12 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
             # the OOM case bf16/bf16 is 67.1M -> threshold between
             win = H * W * B * Cin * (ib + ob) * 2
             bb = (6 if win <= 56 * 1024 * 1024 else 4) * 1024 * 1024
-        if conv2_mode == 'scatter':
-            # P is ((rb+2), W+2, B, 9*Cm) f32 — account the 2-row
-            # overhang up front, then the per-row cost
-            per_row = (W + 2) * B * 9 * Cm * 4 + W * B * Cin * 8
-            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * 4)
+        if conv2_mode in ('scatter', 'scatter16'):
+            # P is ((rb+2), W+2, B, 9*Cm) f32 (bf16 for scatter16) —
+            # account the 2-row overhang up front, then the per-row cost
+            pb = 4 if conv2_mode == 'scatter' else 2
+            per_row = (W + 2) * B * 9 * Cm * pb + W * B * Cin * 8
+            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * pb)
         else:
             per_row = W * B * (9 * Cm * 2 + Cin * 8)
         rb = max(1, bb // max(per_row, 1))
@@ -773,22 +780,25 @@ def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
     w3d = jnp.concatenate([w3_ref[:], wd_ref[:]], axis=0)  # (Cm+Cin, Co)
     for t in range(bands):
         y0 = t * rb
-        if conv2_mode == 'scatter':
+        if conv2_mode in ('scatter', 'scatter16'):
             w2sc = jnp.concatenate(
                 [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
                 axis=1)
             pband = h1p_ref[y0:y0 + rb + 2].reshape(
                 (rb + 2) * (W + 2) * B, Cm)
             P = jnp.dot(pband, w2sc,
-                        preferred_element_type=jnp.float32).reshape(
-                rb + 2, W + 2, B, 9 * Cm)
+                        preferred_element_type=jnp.float32)
+            if conv2_mode == 'scatter16':
+                P = P.astype(jnp.bfloat16)
+            P = P.reshape(rb + 2, W + 2, B, 9 * Cm)
             acc = None
             for dy in range(3):
                 for dx in range(3):
                     tp = (dy * 3 + dx) * Cm
                     sl = P[dy:dy + rb, dx:dx + W, :,
                            tp:tp + Cm].reshape(rb * W * B, Cm)
-                    acc = sl if acc is None else acc + sl
+                    acc = (sl.astype(jnp.float32) if acc is None
+                           else acc + sl)
         else:
             cols = jnp.concatenate(
                 [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
@@ -835,9 +845,10 @@ def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
     if bands is None:
         bb = 6 * 1024 * 1024 if band_budget is None else band_budget
-        if conv2_mode == 'scatter':
-            per_row = (W + 2) * B * 9 * Cm * 4 + W * B * Cout * 8
-            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * 4)
+        if conv2_mode in ('scatter', 'scatter16'):
+            pb = 4 if conv2_mode == 'scatter' else 2
+            per_row = (W + 2) * B * 9 * Cm * pb + W * B * Cout * 8
+            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * pb)
         else:
             per_row = W * B * (9 * Cm * 2 + Cout * 8)
         rb = max(1, bb // max(per_row, 1))

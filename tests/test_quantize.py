@@ -306,6 +306,9 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
             qv2, cfg, x, use_pallas=('hwnc',), hwnc_io='s8'))
         got_hwnc_sc = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc',), conv2_mode='scatter'))
+        got_hwnc_sc16 = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down1'),
+            conv2_mode='scatter16'))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
@@ -325,6 +328,9 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     # scatter conv2 (full-width matmul + shifted adds) reorders the
     # f32 tap accumulation; boundary round ties may flip 1 LSB
     assert np.abs(got_hwnc_sc - want).max() / scale < 0.02
+    # scatter16 additionally rounds each tap product to bf16 before the
+    # f32 accumulate — still quantize-boundary-level deviations only
+    assert np.abs(got_hwnc_sc16 - want).max() / scale < 0.05
 
 
 def test_v2_siamese_swap_fold(v2_net):

@@ -145,7 +145,7 @@ def main():
     ap.add_argument('--dtype', default='bf16',
                     choices=['bf16', 'int8', 'int8c'])
     ap.add_argument('--hwnc-conv2', default='im2col',
-                    choices=['im2col', 'acc', 'scatter'])
+                    choices=['im2col', 'acc', 'scatter', 'scatter16'])
     ap.add_argument('--hwnc-io', default='float', choices=['float', 's8'])
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--out', default='/tmp/instaorder_trace')
