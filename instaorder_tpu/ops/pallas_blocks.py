@@ -315,6 +315,27 @@ def _rq8(acc_i32, m, b):
     return jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
 
 
+def _zero_border(ref):
+    """Zero ONLY the 1-element padded border of an (H+2, W+2, B, C) hwnc
+    conv scratch. The conv1 phase overwrites the full interior every
+    grid step, so a zeros_like fill of the whole plane doubles the h1
+    store traffic for nothing."""
+    h2, w2 = ref.shape[0], ref.shape[1]
+    zr = jnp.zeros((1,) + ref.shape[1:], ref.dtype)
+    ref[0:1] = zr
+    ref[h2 - 1:h2] = zr
+    zc = jnp.zeros((h2, 1) + ref.shape[2:], ref.dtype)
+    ref[:, 0:1] = zc
+    ref[:, w2 - 1:w2] = zc
+
+
+def _zero_border_s2(ref):
+    """Zero only row 0 / col 0 of an (Ho+1, Wo+1, B, C) parity-plane
+    scratch (the conv1 scatter writes rows 1..Ho, cols 1..Wo)."""
+    ref[0:1] = jnp.zeros((1,) + ref.shape[1:], ref.dtype)
+    ref[:, 0:1] = jnp.zeros((ref.shape[0], 1) + ref.shape[2:], ref.dtype)
+
+
 def _bottleneck_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref, m2_ref,
                             b2_ref, w3_ref, m3_ref, b3_ref, sxr_ref,
                             out_ref, h1p_ref):
@@ -589,7 +610,7 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     # conv1 per band, relu'd straight into the padded scratch — bounds
     # the f32 dot output and the bf16 cast of the s8 input
-    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    _zero_border(h1p_ref)
     for t in range(bands):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
@@ -767,7 +788,7 @@ def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
     cdt = w1_ref.dtype
     rb = H // bands
 
-    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    _zero_border(h1p_ref)
     for t in range(bands):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
@@ -905,10 +926,8 @@ def _bottleneck_down_s2_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
     rb = H // bands_in
     rbo = Ho // bands_out
 
-    pee_ref[:] = jnp.zeros_like(pee_ref)
-    peo_ref[:] = jnp.zeros_like(peo_ref)
-    poe_ref[:] = jnp.zeros_like(poe_ref)
-    poo_ref[:] = jnp.zeros_like(poo_ref)
+    for p in (pee_ref, peo_ref, poe_ref, poo_ref):
+        _zero_border_s2(p)
     for t in range(bands_in):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
@@ -1046,7 +1065,7 @@ def _bottleneck_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
     Cm = w1_ref.shape[1]
     rb = H // bands
 
-    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    _zero_border(h1p_ref)
     for t in range(bands):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
@@ -1143,7 +1162,7 @@ def _bottleneck_down_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref,
     Cm = w1_ref.shape[1]
     rb = H // bands
 
-    h1p_ref[:] = jnp.zeros_like(h1p_ref)
+    _zero_border(h1p_ref)
     for t in range(bands):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
@@ -1241,10 +1260,8 @@ def _bottleneck_down_s2_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref,
     rb = H // bands_in
     rbo = Ho // bands_out
 
-    pee_ref[:] = jnp.zeros_like(pee_ref)
-    peo_ref[:] = jnp.zeros_like(peo_ref)
-    poe_ref[:] = jnp.zeros_like(poe_ref)
-    poo_ref[:] = jnp.zeros_like(poo_ref)
+    for p in (pee_ref, peo_ref, poe_ref, poo_ref):
+        _zero_border_s2(p)
     for t in range(bands_in):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
@@ -1392,7 +1409,7 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
             dst = out_ref
 
         # conv1 per band, relu'd into the padded scratch
-        h1p_ref[:] = jnp.zeros_like(h1p_ref)
+        _zero_border(h1p_ref)
         for t in range(bands):
             y0 = t * rb
             xb = src[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
