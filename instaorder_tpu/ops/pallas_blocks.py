@@ -310,8 +310,10 @@ def fused_bottleneck_stage_stream(x, w1, b1, w2, b2, w3, b3,
 
 
 def _rq8(acc_i32, m, b):
-    """int32 accumulator -> requantized int8 (post-relu one-sided)."""
-    y = jnp.maximum(acc_i32.astype(jnp.float32) * m + b, 0.0)
+    """int32 accumulator -> requantized int8 (post-relu one-sided).
+    The relu is subsumed by the clip's 0 lower bound — no separate
+    maximum pass."""
+    y = acc_i32.astype(jnp.float32) * m + b
     return jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
 
 
@@ -372,7 +374,7 @@ def _bottleneck_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref, m2_ref,
     acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
     out = (acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:] +
            x2d.astype(jnp.float32) * sxr_ref[0, 0])
-    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0, 127
+    out_ref[:] = jnp.clip(jnp.round(out), 0, 127
                           ).astype(jnp.int8).reshape(B, H, W, Cin)
 
 
@@ -461,7 +463,7 @@ def _bottleneck_i8v2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 
     out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
     out = out + b3_ref[:] + x2d.astype(jnp.float32) * r_ref[0, 0]
-    q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+    q = jnp.clip(jnp.round(out), 0.0, 127.0)
     out_ref[:] = q.astype(out_ref.dtype).reshape(B, H, W, Cin)
 
 
@@ -543,7 +545,7 @@ def _bottleneck_down_i8v2_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
     iden = jnp.dot(x2d, wd_ref[:], preferred_element_type=jnp.float32)
     out = out + b3_ref[:] + iden + bd_ref[:]
-    q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+    q = jnp.clip(jnp.round(out), 0.0, 127.0)
     out_ref[:] = q.astype(out_ref.dtype).reshape(B, H, W, Cout)
 
 
@@ -673,7 +675,7 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
         out = out + b3_ref[:] + xb.astype(jnp.float32) * r_ref[0, 0]
-        q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+        q = jnp.clip(jnp.round(out), 0.0, 127.0)
         out_ref[y0:y0 + rb] = q.astype(out_ref.dtype).reshape(
             rb, W, B, Cin)
 
@@ -832,7 +834,7 @@ def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
         out = jnp.dot(jnp.concatenate([h2, xb], axis=1), w3d,
                       preferred_element_type=jnp.float32)
         out = out + b3_ref[:] + bd_ref[:]
-        q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+        q = jnp.clip(jnp.round(out), 0.0, 127.0)
         out_ref[y0:y0 + rb] = q.astype(out_ref.dtype).reshape(
             rb, W, B, Cout)
 
@@ -974,7 +976,7 @@ def _bottleneck_down_s2_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
         out = jnp.dot(jnp.concatenate([h2, xb], axis=1), w3d,
                       preferred_element_type=jnp.float32)
         out = out + b3_ref[:] + bd_ref[:]
-        q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+        q = jnp.clip(jnp.round(out), 0.0, 127.0)
         out_ref[y0:y0 + rbo] = q.astype(out_ref.dtype).reshape(
             rbo, Wo, B, Cout)
 
@@ -1087,7 +1089,7 @@ def _bottleneck_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
         out = (acc3.astype(jnp.float32) * m3_ref[:] + b3_ref[:] +
                xb.astype(jnp.float32) * sxr_ref[0, 0])
         out_ref[y0:y0 + rb] = jnp.clip(
-            jnp.round(jnp.maximum(out, 0.0)), 0, 127
+            jnp.round(out), 0, 127
         ).astype(jnp.int8).reshape(rb, W, B, Cin)
 
 
@@ -1185,7 +1187,7 @@ def _bottleneck_down_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref,
         accd = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.int32)
         iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
         out_ref[y0:y0 + rb] = jnp.clip(
-            jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+            jnp.round(y + iden), 0, 127
         ).astype(jnp.int8).reshape(rb, W, B, Cout)
 
 
@@ -1299,7 +1301,7 @@ def _bottleneck_down_s2_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref,
         accd = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.int32)
         iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
         out_ref[y0:y0 + rbo] = jnp.clip(
-            jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+            jnp.round(y + iden), 0, 127
         ).astype(jnp.int8).reshape(rbo, Wo, B, Cout)
 
 
@@ -1436,7 +1438,7 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
                           preferred_element_type=jnp.float32)
             xb = src[y0:y0 + rb].reshape(rb * W * B, Cin)
             out = out + b3_ref[:] + xb.astype(jnp.float32) * r_ref[k, 0]
-            q = jnp.clip(jnp.round(jnp.maximum(out, 0.0)), 0.0, 127.0)
+            q = jnp.clip(jnp.round(out), 0.0, 127.0)
             dst[y0:y0 + rb] = q.astype(dst.dtype).reshape(
                 rb, W, B, Cin)
 
@@ -1708,7 +1710,7 @@ def _bottleneck_down_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
 
     accd = jnp.dot(x2d, wd_ref[:], preferred_element_type=jnp.int32)
     iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
-    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+    out_ref[:] = jnp.clip(jnp.round(y + iden), 0, 127
                           ).astype(jnp.int8).reshape(B, H, W, Cout)
 
 
@@ -1748,7 +1750,7 @@ def _bottleneck_down_s2_int8_kernel(xp_ref, w1_ref, m1_ref, b1_ref, w2_ref,
     xs = xp_ref[0, 0].reshape(B * Ho * Wo, Cin)
     accd = jnp.dot(xs, wd_ref[:], preferred_element_type=jnp.int32)
     iden = accd.astype(jnp.float32) * md_ref[:] + bd_ref[:]
-    out_ref[:] = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
+    out_ref[:] = jnp.clip(jnp.round(y + iden), 0, 127
                           ).astype(jnp.int8).reshape(B, Ho, Wo, Cout)
 
 
