@@ -190,8 +190,11 @@ def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
                                             'nearest'))(rois)
     Wxn = jax.vmap(lambda r: _interp_matrix(r[0], r[2], out_size, W,
                                             'nearest'))(rois)
-    masks_sel = masks[pair_idx.reshape(-1)].reshape(
-        pair_idx.shape[0], 2, H, W).astype(jnp.bfloat16)
+    # cast BEFORE the per-pair gather: each instance is duplicated into
+    # ~N-1 pairs, so gathering f32 and casting after moves 2x the bytes
+    # ({0,1} masks are exact in bf16)
+    masks_sel = masks.astype(jnp.bfloat16)[pair_idx.reshape(-1)].reshape(
+        pair_idx.shape[0], 2, H, W)
     m1 = jnp.einsum('pjw,pmhw->pmhj', Wxn.astype(jnp.bfloat16), masks_sel)
     m_out = jnp.einsum('pih,pmhj->pmij', Wyn.astype(jnp.bfloat16), m1)
     out_dtype = rgb_out.dtype if dtype is None else dtype
