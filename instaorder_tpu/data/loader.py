@@ -1,7 +1,7 @@
 """Batched, prefetching data loader (host side).
 
 Replaces the reference's torch DataLoader + worker subprocesses
-(trainer.py:112-127). Two worker modes:
+(trainer.py:112-127). Three worker modes:
 
   * mode='thread' — a thread pool maps `dataset.sample(idx, rng)` over
     the deterministic sampler stream (cv2/numpy/PIL release the GIL for
@@ -9,7 +9,10 @@ Replaces the reference's torch DataLoader + worker subprocesses
   * mode='process' — spawn-based worker processes (the reference's
     num_workers model) for hosts where the GIL-bound share of the
     sample cost limits thread scaling. 'spawn' (not fork) so workers
-    never inherit the parent's TPU client.
+    never inherit the parent's TPU client;
+  * mode='grain' — grain.python.DataLoader (the multi-host-ready input
+    stack: per-process sharding, checkpointable iterators) at batch
+    granularity, bit-identical batches to the other modes.
 
 Per-sample RNG: seeded as hash(seed, global_sample_position) so the
 stream is bit-identical across worker counts, scheduling orders, AND
@@ -47,10 +50,43 @@ def _worker_sample(args):
     return _WORKER['ds'].sample(int(idx), rng)
 
 
+try:                                   # optional third worker mode
+    import grain.python as _gp
+except ImportError:                    # pragma: no cover - grain is baked
+    _gp = None
+
+if _gp is not None:
+    class _GrainBatchTransform(_gp.MapTransform):
+        """grain transform: batch number -> collated batch, each sample
+        drawn with the SAME position-seeded RNG as the thread/process
+        modes (bit-identical batches across all three). One grain
+        record == one whole batch: grain shards *records* across its
+        worker processes and batches within each shard, which would
+        change the batch composition — at batch granularity the shard
+        interleaving only pipelines whole batches, and grain's
+        deterministic output order preserves the batch order. The
+        RangeDataSource element IS the batch number (no shuffle/shard).
+        Module-level so grain's worker processes can pickle it."""
+
+        def __init__(self, dataset, indices, seed, batch_size):
+            self._ds = dataset
+            self._idx = indices
+            self._seed = seed
+            self._bs = batch_size
+
+        def map(self, b):
+            samples = []
+            for pos in range(int(b) * self._bs, (int(b) + 1) * self._bs):
+                rng = np.random.RandomState(
+                    (self._seed * 1_000_003 + pos) % (2 ** 31 - 1))
+                samples.append(self._ds.sample(int(self._idx[pos]), rng))
+            return collate(samples)
+
+
 class DataLoader:
     def __init__(self, dataset, sampler, batch_size, num_workers=4,
                  prefetch=4, seed=0, mode='thread'):
-        assert mode in ('thread', 'process'), mode
+        assert mode in ('thread', 'process', 'grain'), mode
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -67,7 +103,36 @@ class DataLoader:
                 initializer=_worker_init, initargs=(self.dataset,))
         return ThreadPoolExecutor(self.num_workers)
 
+    def _iter_grain(self):
+        """grain-backed pipeline (multi-host-ready input stack): same
+        sampler stream, position-seeded RNG, and stacked-dict batches as
+        the thread/process modes — bit-identical by construction
+        (tests/test_loader.py cross-mode equality)."""
+        if _gp is None:
+            raise RuntimeError("mode='grain' requires the grain package")
+        indices = np.asarray(list(self.sampler), np.int64)
+        nb = len(indices) // self.batch_size
+        if nb == 0:
+            return
+        loader = _gp.DataLoader(
+            data_source=_gp.RangeDataSource(0, nb, 1),
+            sampler=_gp.IndexSampler(
+                num_records=nb, shard_options=_gp.NoSharding(),
+                shuffle=False, num_epochs=1),
+            operations=[_GrainBatchTransform(
+                self.dataset, indices[:nb * self.batch_size], self.seed,
+                self.batch_size)],
+            worker_count=self.num_workers,
+            read_options=_gp.ReadOptions(
+                prefetch_buffer_size=max(self.prefetch,
+                                         self.num_workers)),
+        )
+        yield from loader
+
     def __iter__(self):
+        if self.mode == 'grain':
+            yield from self._iter_grain()
+            return
         indices = list(self.sampler)
         n_batches = len(indices) // self.batch_size
         pool = self._make_pool()

@@ -381,3 +381,22 @@ def test_loader_process_mode_matches_thread_mode(fixture):
     for a, b in zip(bt, bp):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_loader_grain_mode_matches_thread_mode(fixture):
+    """mode='grain' (grain.python.DataLoader, the multi-host-ready input
+    stack) must yield bit-identical batches to thread mode via the same
+    position-seeded per-sample RNG."""
+    from instaorder_tpu.data.loader import DataLoader
+    from instaorder_tpu.data.datasets import SupOcclusionOrderDataset
+    cfg = instaorder_config(fixture)
+    ds = SupOcclusionOrderDataset(cfg, 'val', 'InstaOrderNet_o')
+    bt = list(DataLoader(ds, [0, 1, 2, 3], batch_size=2, num_workers=2,
+                         seed=5, mode='thread'))
+    bg = list(DataLoader(ds, [0, 1, 2, 3], batch_size=2, num_workers=2,
+                         seed=5, mode='grain'))
+    assert len(bt) == len(bg) == 2
+    for a, b in zip(bt, bg):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], np.asarray(b[k]))
