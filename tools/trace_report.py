@@ -175,24 +175,44 @@ def main():
         for ms, calls, name in rows[:args.top]:
             print(f'{ms:10.2f} {calls:6d}  {name[:110]}')
         # class rollup: group ops by kind so the report reads as a
-        # budget, not a flat op list
-        kinds = (('pallas hwnc stage', 'hwnc_stage'),
-                 ('pallas hwnc', 'hwnc'),
-                 ('pallas other', 'fused_'),
-                 ('convolution', 'conv'),
-                 ('matmul', 'dot'),
-                 ('relayout/copy', ('transpose', 'copy', 'bitcast')),
-                 ('fusion (elementwise/quantize)', 'fusion'),
-                 ('reduce', 'reduce'))
+        # budget, not a flat op list. Classify on the op's LHS name and
+        # opcode ONLY — the full HLO text embeds operand names, so a
+        # substring match over it mislabels (e.g. a conv fusion reading
+        # %copy.139 is not a relayout; an XLA %fused_convert is not a
+        # pallas call).
+        import re
+
+        def _parts(name):
+            lhs = name.split(' = ', 1)[0]
+            m = re.search(r'=\s*\S+?\s+([a-z][a-z0-9_-]*)\(', name)
+            return lhs, (m.group(1) if m else '')
+
+        def _classify(name):
+            lhs, opcode = _parts(name)
+            if opcode == 'custom-call':
+                if 'hwnc_stage' in lhs:
+                    return 'pallas hwnc stage'
+                if 'hwnc' in lhs:
+                    return 'pallas hwnc'
+                return 'pallas other'
+            if 'clamp_convert' in lhs:
+                return 'quantize epilogue'
+            if opcode == 'convolution' or 'conv' in lhs:
+                return 'convolution'
+            if opcode == 'dot' or 'dot' in lhs:
+                return 'matmul'
+            if (opcode in ('transpose', 'copy', 'bitcast')
+                    or lhs.startswith(('%transpose', '%copy', '%bitcast'))):
+                return 'relayout/copy'
+            if opcode == 'fusion':
+                return 'fusion (elementwise/quantize)'
+            if opcode.startswith('reduce') or 'reduce' in lhs:
+                return 'reduce'
+            return 'other'
+
         agg = {}
         for ms, calls, name in rows:
-            label = 'other'
-            for lab, pats in kinds:
-                pats = (pats,) if isinstance(pats, str) else pats
-                if any(p in name for p in pats):
-                    label = lab
-                    break
-            a = agg.setdefault(label, [0.0, 0])
+            a = agg.setdefault(_classify(name), [0.0, 0])
             a[0] += ms
             a[1] += calls
         print('  -- rollup --')
