@@ -71,6 +71,11 @@ def main():
                          'matmul (K=9*Cm, N=Cm), 9 accumulating tap '
                          'matmuls, or one full-width matmul (N=9*Cm) '
                          'plus 9 shifted adds')
+    ap.add_argument('--hwnc-pipeline', action='store_true',
+                    help='software-pipeline the hwnc identity kernel: '
+                         'emit conv1(t+2) between band epilogues so the '
+                         'MXU has independent work against each VPU '
+                         'tail')
     ap.add_argument('--hwnc-io', default='float', choices=['float', 's8'],
                     help='inter-pallas-kernel storage: float keeps '
                          'quantized values in bf16 (no s8 pack/unpack), '
@@ -170,12 +175,14 @@ def main():
                 Q.apply_folded_v2, cfg=cfg, use_pallas=pallas,
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
                 bt_budget=bt_budget, band_budget=band_budget,
-                conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io)
+                conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io,
+                pipeline=args.hwnc_pipeline)
             apply_sia = functools.partial(
                 Q.apply_folded_v2_siamese, cfg=cfg, use_pallas=pallas,
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
                 bt_budget=bt_budget, band_budget=band_budget,
-                conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io)
+                conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io,
+                pipeline=args.hwnc_pipeline)
         else:
             qparams = Q.quantize_folded_resnet(folded_f32, cfg, scales)
             if args.bt_budget_mb:

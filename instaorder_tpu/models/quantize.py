@@ -440,7 +440,7 @@ _HWNC_CIN_CAP = 2048
 
 def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                     bt_budget=None, band_budget=None,
-                    conv2_mode='im2col', hwnc_io='float'):
+                    conv2_mode='im2col', hwnc_io='float', pipeline=False):
     """int8 stem output -> boundary-int8 trunk -> f32 head logits.
 
     hwnc_io: inter-pallas-kernel storage dtype — 'float' keeps the
@@ -573,7 +573,8 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                 qb['conv2']['w'], qb['conv2']['b'],
                 qb['conv3']['w'][0, 0], qb['conv3']['b'], qb['r'],
                 bt_budget=bt_budget, out_int8=out_i8,
-                band_budget=band_budget, conv2_mode=conv2_mode)
+                band_budget=band_budget, conv2_mode=conv2_mode,
+                pipeline=pipeline)
             k += 1
             continue
         if is_t:
@@ -617,19 +618,19 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
 
 def apply_folded_v2(q, cfg, x, use_pallas=True, stem_chunks=1,
                     iden_cin_cap=None, bt_budget=None, band_budget=None,
-                    conv2_mode='im2col', hwnc_io='float'):
+                    conv2_mode='im2col', hwnc_io='float', pipeline=False):
     """Unquantized prep output -> boundary-int8 trunk -> f32 logits."""
     h8 = _stem_v2(q, x, chunks=stem_chunks)
     return _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                            iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
                            band_budget=band_budget, conv2_mode=conv2_mode,
-                           hwnc_io=hwnc_io)
+                           hwnc_io=hwnc_io, pipeline=pipeline)
 
 
 def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
                             iden_cin_cap=None, bt_budget=None,
                             band_budget=None, conv2_mode='im2col',
-                            hwnc_io='float'):
+                            hwnc_io='float', pipeline=False):
     """Both swap directions via the folded-conv1 trick
     (models/folding.py:95-140): conv1(swap(x)) == conv1'(x) with input
     channel rows 0,1 exchanged."""
@@ -650,7 +651,7 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
     out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                           iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
                           band_budget=band_budget, conv2_mode=conv2_mode,
-                          hwnc_io=hwnc_io)
+                          hwnc_io=hwnc_io, pipeline=pipeline)
     n = x.shape[0]
     if isinstance(out, tuple):
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)

@@ -593,7 +593,7 @@ def fused_bottleneck_down_i8v2(x, w1, b1, w2, b2, w3, b3, wd, bd,
 def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                  w3_ref, b3_ref, r_ref, out_ref, h1p_ref,
                                  *, bands, conv2_mode='im2col',
-                                 ep_bf16=False):
+                                 ep_bf16=False, pipeline=False):
     """Layout-native v2 identity bottleneck: operates on the (H, W, N, C)
     view, whose row-major layout equals XLA's preferred {3,0,2,1} conv
     layout on (N, H, W, C) — entering/leaving the kernel is a layout
@@ -613,7 +613,9 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # conv1 per band, relu'd straight into the padded scratch — bounds
     # the f32 dot output and the bf16 cast of the s8 input
     _zero_border(h1p_ref)
-    for t in range(bands):
+    w2f = w2_ref[:].reshape(9 * Cm, Cm)
+
+    def c1(t):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
         h1 = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.float32)
@@ -621,8 +623,7 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = h1.reshape(
             rb, W, B, Cm)
 
-    w2f = w2_ref[:].reshape(9 * Cm, Cm)
-    for t in range(bands):
+    def c23(t):
         y0 = t * rb
         # output row y's dy tap reads padded row y + dy (pad offset 1)
         if conv2_mode == 'im2col':
@@ -653,8 +654,8 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             acc = None
             for dy in range(3):
                 for dx in range(3):
-                    t = (dy * 3 + dx) * Cm
-                    sl = P[dy:dy + rb, dx:dx + W, :, t:t + Cm].reshape(
+                    tp = (dy * 3 + dx) * Cm
+                    sl = P[dy:dy + rb, dx:dx + W, :, tp:tp + Cm].reshape(
                         rb * W * B, Cm)
                     acc = (sl.astype(jnp.float32) if acc is None
                            else acc + sl)
@@ -679,15 +680,34 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         out_ref[y0:y0 + rb] = q.astype(out_ref.dtype).reshape(
             rb, W, B, Cin)
 
+    if pipeline:
+        # software pipelining: conv2(t) reads h1p rows up to y0+rb+1,
+        # i.e. the first row of band t+1's conv1 output — so emit
+        # conv1(t+2) between conv2/3 epilogues, giving Mosaic an
+        # independent MXU dot to overlap with each band's VPU tail
+        c1(0)
+        if bands > 1:
+            c1(1)
+        for t in range(bands):
+            if t + 2 < bands:
+                c1(t + 2)
+            c23(t)
+    else:
+        for t in range(bands):
+            c1(t)
+        for t in range(bands):
+            c23(t)
+
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'batch_tile', 'bt_budget',
                                     'out_int8', 'bands', 'band_budget',
-                                    'conv2_mode'))
+                                    'conv2_mode', 'pipeline'))
 def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
                                interpret=False, batch_tile=None,
                                bt_budget=None, out_int8=True, bands=None,
-                               band_budget=None, conv2_mode='im2col'):
+                               band_budget=None, conv2_mode='im2col',
+                               pipeline=False):
     """v2 identity bottleneck on the (H, W, N, Cin) view (= XLA's
     preferred layout of the NHWC activations, so no boundary relayout).
     x int8 or quantized-value float; weights compute-dtype with the v2
@@ -747,7 +767,7 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
 
     return pl.pallas_call(
         functools.partial(_bottleneck_i8v2_hwnc_kernel, bands=bands,
-                          conv2_mode=conv2_mode),
+                          conv2_mode=conv2_mode, pipeline=pipeline),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
