@@ -107,7 +107,8 @@ class DataLoader:
         """grain-backed pipeline (multi-host-ready input stack): same
         sampler stream, position-seeded RNG, and stacked-dict batches as
         the thread/process modes — bit-identical by construction
-        (tests/test_loader.py cross-mode equality)."""
+        (tests/test_data_layer.py::test_loader_grain_mode_matches_
+        thread_mode)."""
         if _gp is None:
             raise RuntimeError("mode='grain' requires the grain package")
         indices = np.asarray(list(self.sampler), np.int64)

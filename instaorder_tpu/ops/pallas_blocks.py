@@ -338,6 +338,82 @@ def _zero_border_s2(ref):
     ref[:, 0:1] = jnp.zeros((ref.shape[0], 1) + ref.shape[2:], ref.dtype)
 
 
+def _conv2_band(h1p_ref, w2_ref, y0, rb, mode):
+    """One row band of the 3x3 stride-1 conv over the padded (H+2, W+2,
+    B, Cm) scratch -> f32 (rb*W*B, Cm) pre-bias accumulator. Shared by
+    the identity and down1 hwnc kernels so the strategies stay in
+    lockstep.
+
+    mode:
+      'im2col'    — one K=9*Cm matmul over a materialized cols buffer;
+      'scatter'   — ONE full-width matmul (N = 9*Cm lanes) over the
+                    padded band, then 9 shifted adds: out[y, x] =
+                    sum_taps P[y+dy, x+dx, tap]. At Cm=64 (layer1) the
+                    im2col matmul's N=64 runs the MXU at half width;
+                    this runs full width at the cost of the
+                    (rb+2)(W+2)/(rb*W) padded-band overhang;
+      'scatter16' — scatter with the tap products stored bf16 (halves
+                    the VPU read traffic of the shifted adds; the f32
+                    accumulate of bf16-rounded taps can flip boundary
+                    round() ties 1 LSB);
+      'acc'       — 9 accumulating K=Cm matmuls, no materialized cols
+                    buffer (trades MXU contraction depth for the
+                    concat's VMEM shuffle traffic).
+    """
+    W = h1p_ref.shape[1] - 2
+    B, Cm = h1p_ref.shape[2], h1p_ref.shape[3]
+    if mode == 'im2col':
+        cols = jnp.concatenate(
+            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
+                rb * W * B, Cm)
+             for dy in range(3) for dx in range(3)], axis=1)
+        return jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
+                       preferred_element_type=jnp.float32)
+    if mode in ('scatter', 'scatter16'):
+        w2sc = jnp.concatenate(
+            [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
+            axis=1)                                         # (Cm, 9*Cm)
+        pband = h1p_ref[y0:y0 + rb + 2].reshape(
+            (rb + 2) * (W + 2) * B, Cm)
+        P = jnp.dot(pband, w2sc, preferred_element_type=jnp.float32)
+        if mode == 'scatter16':
+            P = P.astype(jnp.bfloat16)
+        P = P.reshape(rb + 2, W + 2, B, 9 * Cm)
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                tp = (dy * 3 + dx) * Cm
+                sl = P[dy:dy + rb, dx:dx + W, :, tp:tp + Cm].reshape(
+                    rb * W * B, Cm)
+                acc = sl.astype(jnp.float32) if acc is None else acc + sl
+        return acc
+    assert mode == 'acc', mode
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = h1p_ref[y0 + dy:y0 + dy + rb,
+                         dx:dx + W, :, :].reshape(rb * W * B, Cm)
+            d = jnp.dot(sl, w2_ref[dy, dx],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    return acc
+
+
+def _conv2_band_budget(bb, W, B, Cm, tail_bytes, mode):
+    """Rows-per-band byte accounting for _conv2_band + a kernel's f32
+    tail (`tail_bytes` per output row): returns the adjusted budget and
+    per-row cost. Shared by the identity and down1 hwnc wrappers."""
+    if mode in ('scatter', 'scatter16'):
+        pb = 4 if mode == 'scatter' else 2
+        per_row = (W + 2) * B * 9 * Cm * pb + tail_bytes
+        bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * pb)
+    elif mode == 'acc':
+        per_row = W * B * Cm * 4 + tail_bytes
+    else:
+        per_row = W * B * 9 * Cm * 2 + tail_bytes
+    return bb, per_row
+
+
 def _bottleneck_int8_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref, m2_ref,
                             b2_ref, w3_ref, m3_ref, b3_ref, sxr_ref,
                             out_ref, h1p_ref):
@@ -593,7 +669,7 @@ def fused_bottleneck_down_i8v2(x, w1, b1, w2, b2, w3, b3, wd, bd,
 def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                  w3_ref, b3_ref, r_ref, out_ref, h1p_ref,
                                  *, bands, conv2_mode='im2col',
-                                 ep_bf16=False, pipeline=False):
+                                 pipeline=False):
     """Layout-native v2 identity bottleneck: operates on the (H, W, N, C)
     view, whose row-major layout equals XLA's preferred {3,0,2,1} conv
     layout on (N, H, W, C) — entering/leaving the kernel is a layout
@@ -613,7 +689,6 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # conv1 per band, relu'd straight into the padded scratch — bounds
     # the f32 dot output and the bf16 cast of the s8 input
     _zero_border(h1p_ref)
-    w2f = w2_ref[:].reshape(9 * Cm, Cm)
 
     def c1(t):
         y0 = t * rb
@@ -626,51 +701,7 @@ def _bottleneck_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     def c23(t):
         y0 = t * rb
         # output row y's dy tap reads padded row y + dy (pad offset 1)
-        if conv2_mode == 'im2col':
-            cols = jnp.concatenate(
-                [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
-                    rb * W * B, Cm)
-                 for dy in range(3) for dx in range(3)], axis=1)
-            acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
-        elif conv2_mode in ('scatter', 'scatter16'):
-            # ONE full-width matmul (N = 9*Cm lanes) over the padded
-            # band, then 9 shifted adds: out[y, x] = sum_taps
-            # P[y+dy, x+dx, tap]. At Cm=64 (layer1) the im2col matmul's
-            # N=64 runs the MXU at half width; this runs full width at
-            # the cost of the (rb+2)(W+2)/(rb*W) padded-band overhang.
-            # 'scatter16' stores the tap products bf16 (halves the VPU
-            # read traffic of the 9 shifted adds; the f32 accumulate of
-            # bf16-rounded taps can flip boundary round() ties 1 LSB).
-            w2sc = jnp.concatenate(
-                [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
-                axis=1)                                     # (Cm, 9*Cm)
-            pband = h1p_ref[y0:y0 + rb + 2].reshape(
-                (rb + 2) * (W + 2) * B, Cm)
-            P = jnp.dot(pband, w2sc,
-                        preferred_element_type=jnp.float32)
-            if conv2_mode == 'scatter16':
-                P = P.astype(jnp.bfloat16)
-            P = P.reshape(rb + 2, W + 2, B, 9 * Cm)
-            acc = None
-            for dy in range(3):
-                for dx in range(3):
-                    tp = (dy * 3 + dx) * Cm
-                    sl = P[dy:dy + rb, dx:dx + W, :, tp:tp + Cm].reshape(
-                        rb * W * B, Cm)
-                    acc = (sl.astype(jnp.float32) if acc is None
-                           else acc + sl)
-        else:
-            # 'acc': 9 accumulating K=Cm matmuls — no materialized
-            # (M, 9*Cm) cols buffer, trading MXU contraction depth for
-            # the concat's VMEM shuffle traffic
-            acc = None
-            for dy in range(3):
-                for dx in range(3):
-                    sl = h1p_ref[y0 + dy:y0 + dy + rb,
-                                 dx:dx + W, :, :].reshape(rb * W * B, Cm)
-                    d = jnp.dot(sl, w2_ref[dy, dx],
-                                preferred_element_type=jnp.float32)
-                    acc = d if acc is None else acc + d
+        acc = _conv2_band(h1p_ref, w2_ref, y0, rb, conv2_mode)
         h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
 
         out = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
@@ -714,6 +745,8 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
     boundary scales folded; r f32 scalar. Returns (H, W, N, Cin)."""
     H, W, N, Cin = x.shape
     Cm = w1.shape[1]
+    ib = x.dtype.itemsize
+    ob = 1 if out_int8 else w1.dtype.itemsize
     if batch_tile is None:
         # the N axis is second-minor, so the block's (B, Cin) tail must
         # have B % 8 == 0 (or B == N); steady-state VMEM is the
@@ -722,8 +755,6 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
         # dtype bytes: with float inter-kernel IO the input window is
         # bf16, not s8 (a fixed *2*2 under-budgeted that case by ~716K
         # past the scoped-vmem ceiling at layer1).
-        ib = x.dtype.itemsize
-        ob = 1 if out_int8 else w1.dtype.itemsize
         per_img = H * W * Cin * (ib + ob) * 2
         budget = BT_BUDGET if bt_budget is None else bt_budget
         batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
@@ -751,14 +782,12 @@ def fused_bottleneck_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, r,
             # the OOM case bf16/bf16 is 67.1M -> threshold between
             win = H * W * B * Cin * (ib + ob) * 2
             bb = (6 if win <= 56 * 1024 * 1024 else 4) * 1024 * 1024
-        if conv2_mode in ('scatter', 'scatter16'):
-            # P is ((rb+2), W+2, B, 9*Cm) f32 (bf16 for scatter16) —
-            # account the 2-row overhang up front, then the per-row cost
-            pb = 4 if conv2_mode == 'scatter' else 2
-            per_row = (W + 2) * B * 9 * Cm * pb + W * B * Cin * 8
-            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * pb)
-        else:
-            per_row = W * B * (9 * Cm * 2 + Cin * 8)
+        tail = W * B * Cin * 8                    # f32 conv3+residual
+        if pipeline:
+            # conv1(t+2) temporaries (bf16 xb + f32 h1 dot + cast) are
+            # live concurrently with band t's c23 tail
+            tail += W * B * (Cin * 2 + Cm * 6)
+        bb, per_row = _conv2_band_budget(bb, W, B, Cm, tail, conv2_mode)
         rb = max(1, bb // max(per_row, 1))
         while H % rb:
             rb -= 1
@@ -819,35 +848,10 @@ def _bottleneck_down_i8v2_hwnc_kernel(x_ref, w1_ref, b1_ref, w2_ref,
         h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = h1.reshape(
             rb, W, B, Cm)
 
-    w2f = w2_ref[:].reshape(9 * Cm, Cm)
     w3d = jnp.concatenate([w3_ref[:], wd_ref[:]], axis=0)  # (Cm+Cin, Co)
     for t in range(bands):
         y0 = t * rb
-        if conv2_mode in ('scatter', 'scatter16'):
-            w2sc = jnp.concatenate(
-                [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
-                axis=1)
-            pband = h1p_ref[y0:y0 + rb + 2].reshape(
-                (rb + 2) * (W + 2) * B, Cm)
-            P = jnp.dot(pband, w2sc,
-                        preferred_element_type=jnp.float32)
-            if conv2_mode == 'scatter16':
-                P = P.astype(jnp.bfloat16)
-            P = P.reshape(rb + 2, W + 2, B, 9 * Cm)
-            acc = None
-            for dy in range(3):
-                for dx in range(3):
-                    tp = (dy * 3 + dx) * Cm
-                    sl = P[dy:dy + rb, dx:dx + W, :,
-                           tp:tp + Cm].reshape(rb * W * B, Cm)
-                    acc = (sl.astype(jnp.float32) if acc is None
-                           else acc + sl)
-        else:
-            cols = jnp.concatenate(
-                [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
-                    rb * W * B, Cm)
-                 for dy in range(3) for dx in range(3)], axis=1)
-            acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+        acc = _conv2_band(h1p_ref, w2_ref, y0, rb, conv2_mode)
         h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
 
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin).astype(cdt)
@@ -888,12 +892,8 @@ def fused_bottleneck_down_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
     if bands is None:
         bb = 6 * 1024 * 1024 if band_budget is None else band_budget
-        if conv2_mode in ('scatter', 'scatter16'):
-            pb = 4 if conv2_mode == 'scatter' else 2
-            per_row = (W + 2) * B * 9 * Cm * pb + W * B * Cout * 8
-            bb = max(per_row, bb - 2 * (W + 2) * B * 9 * Cm * pb)
-        else:
-            per_row = W * B * (9 * Cm * 2 + Cout * 8)
+        bb, per_row = _conv2_band_budget(bb, W, B, Cm, W * B * Cout * 8,
+                                         conv2_mode)
         rb = max(1, bb // max(per_row, 1))
         while H % rb:
             rb -= 1

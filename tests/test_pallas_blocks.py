@@ -238,3 +238,39 @@ def test_fused_stem_int8_parity():
                                      jnp.asarray(m), jnp.asarray(b),
                                      interpret=True, batch_tile=2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_i8v2_hwnc_pipeline_and_conv2_modes_bitexact():
+    """pipeline=True reorders band emission only; every conv2 mode must
+    carry the same math. im2col/acc/pipeline are bit-identical (same
+    ops, different order/grouping); scatter modes reorder the f32 tap
+    accumulation (and scatter16 rounds taps to bf16), so they may flip
+    quantize-boundary round() ties by 1 LSB."""
+    from instaorder_tpu.ops.pallas_blocks import fused_bottleneck_i8v2_hwnc
+    rng = np.random.RandomState(0)
+    H, W, N, Cin, Cm = 16, 16, 8, 64, 16
+    x = jnp.asarray(rng.randint(0, 127, (H, W, N, Cin)), jnp.int8)
+    w1 = jnp.asarray(rng.randn(Cin, Cm) * .1, jnp.bfloat16)
+    b1 = jnp.asarray(rng.randn(Cm) * .1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, Cm, Cm) * .1, jnp.bfloat16)
+    b2 = jnp.asarray(rng.randn(Cm) * .1, jnp.float32)
+    w3 = jnp.asarray(rng.randn(Cm, Cin) * .1, jnp.bfloat16)
+    b3 = jnp.asarray(rng.randn(Cin) * .1, jnp.float32)
+
+    def run(**kw):
+        return np.asarray(fused_bottleneck_i8v2_hwnc(
+            x, w1, b1, w2, b2, w3, b3, 0.5, interpret=True, bands=4,
+            **kw)).astype(np.int32)
+
+    base = run()
+    np.testing.assert_array_equal(run(pipeline=True), base)
+    np.testing.assert_array_equal(run(conv2_mode='acc'), base)
+    np.testing.assert_array_equal(
+        run(conv2_mode='acc', pipeline=True), base)
+    # scatter: f32 reassociation only -> rare tie flips; scatter16
+    # additionally rounds taps to bf16 -> a few % of 1-LSB flips
+    for mode, frac in (('scatter', 0.01), ('scatter16', 0.05)):
+        d = np.abs(run(conv2_mode=mode) - base)
+        assert d.max() <= 1 and (d > 0).mean() < frac, (mode, d.max())
+        d = np.abs(run(conv2_mode=mode, pipeline=True) - base)
+        assert d.max() <= 1 and (d > 0).mean() < frac, (mode, d.max())

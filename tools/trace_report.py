@@ -183,8 +183,13 @@ def main():
         import re
 
         def _parts(name):
-            lhs = name.split(' = ', 1)[0]
-            m = re.search(r'=\s*\S+?\s+([a-z][a-z0-9_-]*)\(', name)
+            lhs = name.split(' = ', 1)[0].lstrip('%')
+            # opcode = first lowercase word directly followed by '(' in
+            # the RHS; robust to tuple return types (whose parens hold
+            # only dtypes like bf16[...] / layout tokens like T(8,128),
+            # which are either uppercase or not word-then-paren)
+            rhs = name.split(' = ', 1)[1] if ' = ' in name else ''
+            m = re.search(r'([a-z][a-z0-9_-]*)\(', rhs)
             return lhs, (m.group(1) if m else '')
 
         def _classify(name):
@@ -202,7 +207,7 @@ def main():
             if opcode == 'dot' or 'dot' in lhs:
                 return 'matmul'
             if (opcode in ('transpose', 'copy', 'bitcast')
-                    or lhs.startswith(('%transpose', '%copy', '%bitcast'))):
+                    or lhs.startswith(('transpose', 'copy', 'bitcast'))):
                 return 'relayout/copy'
             if opcode == 'fusion':
                 return 'fusion (elementwise/quantize)'
