@@ -1441,17 +1441,12 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
             h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = h1.reshape(
                 rb, W, B, Cm)
 
-        # conv2 (3x3 im2col) + conv3 + residual + requant per band; the
-        # band's residual read happens before its write, so src == dst
+        # conv2 + conv3 + residual + requant per band; the band's
+        # residual read happens before its write, so src == dst
         # (act -> act) is safe
-        w2f = w2_ref[:].reshape(9 * Cm, Cm)
         for t in range(bands):
             y0 = t * rb
-            cols = jnp.concatenate(
-                [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
-                    rb * W * B, Cm)
-                 for dy in range(3) for dx in range(3)], axis=1)
-            acc = jnp.dot(cols, w2f, preferred_element_type=jnp.float32)
+            acc = _conv2_band(h1p_ref, w2_ref, y0, rb, 'im2col')
             h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
 
             out = jnp.dot(h2, w3_ref[:],
