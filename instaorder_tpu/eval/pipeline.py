@@ -299,7 +299,9 @@ def make_int8_predictor(params, stats, cfg, method, calib_batches,
 
 
 def make_v2_predictor(params, stats, cfg, method, calib_batches,
-                      use_pallas=True, compute_dtype=None, **kw):
+                      use_pallas=True, compute_dtype=None,
+                      conv2_mode='im2col', hwnc_io='float',
+                      pipeline=False, **kw):
     """Boundary-int8 v2 OrderPredictor (models/quantize.py
     quantize_folded_v2): BN-fold, calibrate boundary scales on
     `calib_batches`, then serve with int8 HBM storage at block
@@ -318,7 +320,9 @@ def make_v2_predictor(params, stats, cfg, method, calib_batches,
     qp = Q.quantize_folded_v2(folded, cfg, scales, compute_dtype=cdt)
 
     def apply_fn(p, s, c, x, train=False):
-        return Q.apply_folded_v2(p, c, x, use_pallas=use_pallas), s
+        return Q.apply_folded_v2(p, c, x, use_pallas=use_pallas,
+                                 conv2_mode=conv2_mode, hwnc_io=hwnc_io,
+                                 pipeline=pipeline), s
 
     return OrderPredictor(apply_fn, cfg, qp, stats, method, **kw)
 
