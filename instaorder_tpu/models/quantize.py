@@ -400,13 +400,25 @@ def _q8(y):
     return jnp.clip(jnp.round(jnp.maximum(y, 0.0)), 0, 127).astype(jnp.int8)
 
 
-def _stem_v2(q, x, chunks=1):
+def _stem_v2(q, x, chunks=1, use_pallas=False):
     """Compute-dtype stem conv (1/s_stem folded) -> maxpool -> int8
     requant AFTER the pool (round/clip/relu and max-pool are monotone
     and commute, so this equals quantize-then-pool up to the compute-
     dtype cast; the quantize pass then runs on the 4x smaller pooled
-    tensor instead of the 128^2 conv output)."""
+    tensor instead of the 128^2 conv output).
+
+    use_pallas with 'stem': the fused parity-plane stem kernel
+    (ops/pallas_blocks.fused_stem, q8=True) — conv+relu+pool+quantize
+    with the 128^2 conv output never leaving VMEM; `chunks` is
+    intentionally a no-op there (no HBM liveness to bound)."""
+    from .folding import _pallas_features as _feats
     cdt = q['conv1']['w'].dtype
+    feats = _feats(use_pallas, default=frozenset())
+    if ('stem' in feats and q['conv1']['w'].shape[:2] == (7, 7)
+            and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+        from ..ops.pallas_blocks import fused_stem
+        return fused_stem(x.astype(cdt), q['conv1']['w'],
+                          q['conv1']['b'], q8=True)
 
     def stem(xc):
         h = cnn.conv2d(q['conv1'], xc.astype(cdt), stride=2, padding=3)
@@ -620,7 +632,7 @@ def apply_folded_v2(q, cfg, x, use_pallas=True, stem_chunks=1,
                     iden_cin_cap=None, bt_budget=None, band_budget=None,
                     conv2_mode='im2col', hwnc_io='float', pipeline=False):
     """Unquantized prep output -> boundary-int8 trunk -> f32 logits."""
-    h8 = _stem_v2(q, x, chunks=stem_chunks)
+    h8 = _stem_v2(q, x, chunks=stem_chunks, use_pallas=use_pallas)
     return _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                            iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
                            band_budget=band_budget, conv2_mode=conv2_mode,
@@ -645,7 +657,7 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
     wcat = jnp.concatenate([q['conv1']['w'], conv1_sw['w']], axis=3)
     bcat = jnp.concatenate([q['conv1']['b'], conv1_sw['b']])
     hcat = _stem_v2(dict(q, conv1={'w': wcat, 'b': bcat}), x,
-                    chunks=stem_chunks)
+                    chunks=stem_chunks, use_pallas=use_pallas)
     c = hcat.shape[-1] // 2
     h8 = jnp.concatenate([hcat[..., :c], hcat[..., c:]], axis=0)
     out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,

@@ -1879,10 +1879,13 @@ def _stem_plane_weights(w):
     return wq.reshape(2, 2, 3, 3, 16 * C, Cout)
 
 
-def _stem_v2_kernel(xp_ref, w_ref, b_ref, out_ref, hp_ref):
+def _stem_v2_kernel(xp_ref, w_ref, b_ref, out_ref, hp_ref, *, q8=False):
     """xp (B, Ky, Kx, 16C) packed input; w (2,2,3,3,16C,Cout); out
     (B, Ho, Wo, Cout) pooled stem output; hp scratch (2,2,B,Ho+1,Wo+1,
-    Cout) conv-output parity planes (front pad 1 for the pool)."""
+    Cout) conv-output parity planes (front pad 1 for the pool). q8:
+    quantize the pooled output to one-sided int8 in-kernel (the v2
+    boundary _q8; pool of relu'd values is >= 0 so the clip's lower
+    bound is never active)."""
     B, Ky, Kx, CL = xp_ref.shape
     _, _, _, Hp, Wp, Cout = hp_ref.shape
     Ho, Wo = Hp - 1, Wp - 1
@@ -1908,11 +1911,16 @@ def _stem_v2_kernel(xp_ref, w_ref, b_ref, out_ref, hp_ref):
             b, sx = _S2_PLANE[dx]
             win = hp_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
             pooled = win if pooled is None else jnp.maximum(pooled, win)
-    out_ref[:] = pooled
+    if q8:
+        out_ref[:] = jnp.clip(jnp.round(pooled.astype(jnp.float32)),
+                              0, 127).astype(jnp.int8)
+    else:
+        out_ref[:] = pooled
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
-def fused_stem(x, w, b, interpret=False, batch_tile=None):
+@functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile',
+                                             'q8'))
+def fused_stem(x, w, b, interpret=False, batch_tile=None, q8=False):
     """x: (N, H, W, C); w: (7, 7, C, Cout) HWIO; b: (Cout,).
     Returns (N, H//4, W//4, Cout) — conv1 + relu + maxpool with the
     128^2-resolution conv output never touching HBM
@@ -1940,7 +1948,7 @@ def fused_stem(x, w, b, interpret=False, batch_tile=None):
     xp = _stem_pack(x)
     wp = _stem_plane_weights(w)
     return pl.pallas_call(
-        _stem_v2_kernel,
+        functools.partial(_stem_v2_kernel, q8=q8),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((B, Ho + 2, Wo + 2, 16 * C),
@@ -1950,7 +1958,8 @@ def fused_stem(x, w, b, interpret=False, batch_tile=None):
         ],
         out_specs=pl.BlockSpec((B, Ho, Wo, Cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, Ho, Wo, Cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, Ho, Wo, Cout), jnp.int8 if q8 else x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 2, B, Ho + 1, Wo + 1, Cout), x.dtype)],
         compiler_params=pltpu.CompilerParams(

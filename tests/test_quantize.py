@@ -282,7 +282,7 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     names = ('fused_bottleneck_i8v2', 'fused_bottleneck_down_i8v2',
              'fused_bottleneck_i8v2_hwnc', 'fused_bottleneck_i8v2_hwnc_stage',
              'fused_bottleneck_down_i8v2_hwnc',
-             'fused_bottleneck_down_s2_i8v2_hwnc')
+             'fused_bottleneck_down_s2_i8v2_hwnc', 'fused_stem')
     origs = {n: getattr(pallas_blocks, n) for n in names}
     for n in names:
         setattr(pallas_blocks, n,
@@ -309,6 +309,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
         got_hwnc_sc16 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc', 'down1'),
             conv2_mode='scatter16'))
+        got_hwnc_stem = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'stem')))
     finally:
         for n in names:
             setattr(pallas_blocks, n, origs[n])
@@ -331,6 +333,9 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     # scatter16 additionally rounds each tap product to bf16 before the
     # f32 accumulate — still quantize-boundary-level deviations only
     assert np.abs(got_hwnc_sc16 - want).max() / scale < 0.05
+    # fused v2 stem: same bf16 conv/pool/quantize math, f32-acc dots ->
+    # boundary round ties only
+    assert np.abs(got_hwnc_stem - want).max() / scale < 0.05
 
 
 def test_v2_siamese_swap_fold(v2_net):
