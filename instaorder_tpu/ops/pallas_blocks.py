@@ -338,7 +338,7 @@ def _zero_border_s2(ref):
     ref[:, 0:1] = jnp.zeros((ref.shape[0], 1) + ref.shape[2:], ref.dtype)
 
 
-def _conv2_band(h1p_ref, w2_ref, y0, rb, mode):
+def _conv2_band(h1p_ref, w2_ref, y0, rb, mode, acc_dtype=jnp.float32):
     """One row band of the 3x3 stride-1 conv over the padded (H+2, W+2,
     B, Cm) scratch -> f32 (rb*W*B, Cm) pre-bias accumulator. Shared by
     the identity and down1 hwnc kernels so the strategies stay in
@@ -368,14 +368,16 @@ def _conv2_band(h1p_ref, w2_ref, y0, rb, mode):
                 rb * W * B, Cm)
              for dy in range(3) for dx in range(3)], axis=1)
         return jnp.dot(cols, w2_ref[:].reshape(9 * Cm, Cm),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=acc_dtype)
     if mode in ('scatter', 'scatter16'):
+        assert acc_dtype == jnp.float32 or mode != 'scatter16', \
+            'scatter16 (bf16 taps) is a float-compute mode'
         w2sc = jnp.concatenate(
             [w2_ref[dy, dx] for dy in range(3) for dx in range(3)],
             axis=1)                                         # (Cm, 9*Cm)
         pband = h1p_ref[y0:y0 + rb + 2].reshape(
             (rb + 2) * (W + 2) * B, Cm)
-        P = jnp.dot(pband, w2sc, preferred_element_type=jnp.float32)
+        P = jnp.dot(pband, w2sc, preferred_element_type=acc_dtype)
         if mode == 'scatter16':
             P = P.astype(jnp.bfloat16)
         P = P.reshape(rb + 2, W + 2, B, 9 * Cm)
@@ -385,7 +387,7 @@ def _conv2_band(h1p_ref, w2_ref, y0, rb, mode):
                 tp = (dy * 3 + dx) * Cm
                 sl = P[dy:dy + rb, dx:dx + W, :, tp:tp + Cm].reshape(
                     rb * W * B, Cm)
-                acc = sl.astype(jnp.float32) if acc is None else acc + sl
+                acc = sl.astype(acc_dtype) if acc is None else acc + sl
         return acc
     assert mode == 'acc', mode
     acc = None
@@ -394,7 +396,7 @@ def _conv2_band(h1p_ref, w2_ref, y0, rb, mode):
             sl = h1p_ref[y0 + dy:y0 + dy + rb,
                          dx:dx + W, :, :].reshape(rb * W * B, Cm)
             d = jnp.dot(sl, w2_ref[dy, dx],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=acc_dtype)
             acc = d if acc is None else acc + d
     return acc
 
@@ -1071,7 +1073,8 @@ def fused_bottleneck_down_s2_i8v2_hwnc(x, w1, b1, w2, b2, w3, b3, wd, bd,
 
 def _bottleneck_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
                                  m2_ref, b2_ref, w3_ref, m3_ref, b3_ref,
-                                 sxr_ref, out_ref, h1p_ref, *, bands):
+                                 sxr_ref, out_ref, h1p_ref, *, bands,
+                                 conv2_mode='im2col', pipeline=False):
     """Full-int8 identity bottleneck on the (H, W, B, C) view: the
     round-2 int8c math (_bottleneck_int8_kernel — native s8 x s8 -> s32
     MXU dots + f32 requant epilogues, bit-identical to the XLA int8
@@ -1088,21 +1091,18 @@ def _bottleneck_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
     rb = H // bands
 
     _zero_border(h1p_ref)
-    for t in range(bands):
+
+    def c1(t):
         y0 = t * rb
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
         acc = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.int32)
         h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = _rq8(
             acc, m1_ref[:], b1_ref[:]).reshape(rb, W, B, Cm)
 
-    w2f = w2_ref[:].reshape(9 * Cm, Cm)
-    for t in range(bands):
+    def c23(t):
         y0 = t * rb
-        cols = jnp.concatenate(
-            [h1p_ref[y0 + dy:y0 + dy + rb, dx:dx + W, :, :].reshape(
-                rb * W * B, Cm)
-             for dy in range(3) for dx in range(3)], axis=1)
-        acc2 = jnp.dot(cols, w2f, preferred_element_type=jnp.int32)
+        acc2 = _conv2_band(h1p_ref, w2_ref, y0, rb, conv2_mode,
+                           acc_dtype=jnp.int32)
         h2 = _rq8(acc2, m2_ref[:], b2_ref[:])
         acc3 = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
         xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin)
@@ -1112,14 +1112,30 @@ def _bottleneck_int8_hwnc_kernel(x_ref, w1_ref, m1_ref, b1_ref, w2_ref,
             jnp.round(out), 0, 127
         ).astype(jnp.int8).reshape(rb, W, B, Cin)
 
+    if pipeline:
+        c1(0)
+        if bands > 1:
+            c1(1)
+        for t in range(bands):
+            if t + 2 < bands:
+                c1(t + 2)
+            c23(t)
+    else:
+        for t in range(bands):
+            c1(t)
+        for t in range(bands):
+            c23(t)
+
 
 @functools.partial(jax.jit,
                    static_argnames=('interpret', 'batch_tile', 'bt_budget',
-                                    'bands', 'band_budget'))
+                                    'bands', 'band_budget', 'conv2_mode',
+                                    'pipeline'))
 def fused_bottleneck_int8_hwnc(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
                                sxr, interpret=False, batch_tile=None,
                                bt_budget=None, bands=None,
-                               band_budget=None):
+                               band_budget=None, conv2_mode='im2col',
+                               pipeline=False):
     """int8c identity bottleneck on the (H, W, N, Cin) int8 view ->
     int8 same shape. Args per fused_bottleneck_int8 (w* s8, m*/b* f32
     per-channel folded scale/bias, sxr f32 scalar); layout/VMEM story
@@ -1146,7 +1162,8 @@ def fused_bottleneck_int8_hwnc(x, w1, m1, b1, w2, m2, b2, w3, m3, b3,
     assert H % bands == 0, (H, bands)
 
     return pl.pallas_call(
-        functools.partial(_bottleneck_int8_hwnc_kernel, bands=bands),
+        functools.partial(_bottleneck_int8_hwnc_kernel, bands=bands,
+                          conv2_mode=conv2_mode, pipeline=pipeline),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
