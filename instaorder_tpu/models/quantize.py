@@ -678,10 +678,19 @@ def apply_folded_int8_siamese(q, cfg, x, use_pallas=True, stem_chunks=1):
     perm = [1, 0] + list(range(2, cin))
     conv1_sw = dict(q['conv1'], w=q['conv1']['w'][:, :, perm, :])
     x8 = quantize_input(x, q['cfg_scales']['in'])
-    h1 = _stem_int8(q, x8, use_pallas=use_pallas, chunks=stem_chunks)
-    h2 = _stem_int8(dict(q, conv1=conv1_sw), x8, use_pallas=use_pallas,
-                    chunks=stem_chunks)
-    h8 = jnp.concatenate([h1, h2], axis=0)
+    # double-width stem (see apply_folded_v2_siamese): both directions'
+    # conv1 concatenated on the output-channel axis — per-channel m/b
+    # concatenate the same way, so one conv reads x8 once at full MXU
+    # width and the channel halves become the batch halves
+    wide = dict(q, conv1={
+        'w': jnp.concatenate([q['conv1']['w'], conv1_sw['w']], axis=3),
+        'm': jnp.concatenate([q['conv1']['m'], conv1_sw['m']]),
+        'b': jnp.concatenate([q['conv1']['b'], conv1_sw['b']]),
+    })
+    hcat = _stem_int8(wide, x8, use_pallas=use_pallas,
+                      chunks=stem_chunks)
+    c = hcat.shape[-1] // 2
+    h8 = jnp.concatenate([hcat[..., :c], hcat[..., c:]], axis=0)
     out = _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
     n = x.shape[0]
     if isinstance(out, tuple):
