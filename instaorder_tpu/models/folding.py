@@ -129,9 +129,14 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
         # the stem itself) — off by default; chunked XLA stem handles
         # the HBM-liveness problem instead.
         from ..ops.pallas_blocks import fused_stem
-        h1 = fused_stem(x, params['conv1']['w'], params['conv1']['b'])
-        h2 = fused_stem(x, swapped_conv1['w'], swapped_conv1['b'])
-        h = jnp.concatenate([h1, h2], axis=0)
+        # double-width here too: one kernel call, input packed once
+        wcat = jnp.concatenate([params['conv1']['w'],
+                                swapped_conv1['w']], axis=3)
+        bcat = jnp.concatenate([params['conv1']['b'],
+                                swapped_conv1['b']])
+        hcat = fused_stem(x, wcat, bcat)
+        c = hcat.shape[-1] // 2
+        h = jnp.concatenate([hcat[..., :c], hcat[..., c:]], axis=0)
     else:
         # double-width stem: both directions' conv1 concatenated on the
         # output-channel axis — one conv reads the input once at full
