@@ -63,7 +63,7 @@ class OrderPredictor:
 
     def __init__(self, apply_fn, cfg, params, stats, method,
                  patch_or_image='patch', input_size=256, use_rgb=True,
-                 mesh=None, directions=2):
+                 mesh=None, directions=2, siamese_fn=None):
         """mesh: optional jax.sharding.Mesh — shards the 2P pair batch
         over the `data` axis so one image's pairs spread across chips
         (the "pair sharding" scale axis, SURVEY.md §5).
@@ -72,7 +72,15 @@ class OrderPredictor:
         average the sigmoids/softmaxes, inference.py:196-214) or 1
         (serving speed knob: single forward per pair, ~2x throughput;
         decisions can differ from the reference on threshold-adjacent
-        pairs)."""
+        pairs).
+
+        siamese_fn: optional (params, stats, cfg, x) -> (out1, out2)
+        computing BOTH swap directions from the un-swapped pair batch
+        via the folded-conv1 trick (models/folding.py:95-140) — avoids
+        materialising the channel-swapped copy of the (2P, sz, sz, 5)
+        batch in HBM at directions=2. Used for the resnet_cls family
+        (make_v2_predictor); other model families take the generic
+        swapped-concat path."""
         self.apply_fn = apply_fn
         self.cfg = cfg
         self.params = params
@@ -121,6 +129,27 @@ class OrderPredictor:
                     out_specs=P('data'), check_vma=False)(params, stats, x)
 
         self._forward = _forward
+
+        self._forward_sia = None
+        if siamese_fn is not None:
+            if mesh is None:
+                @jax.jit
+                def _forward_sia(params, stats, x):
+                    return siamese_fn(params, stats, cfg, x)
+            else:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                @jax.jit
+                def _forward_sia(params, stats, x):
+                    def _fwd(params, stats, x):
+                        return siamese_fn(params, stats, cfg, x)
+                    return shard_map(
+                        _fwd, mesh=mesh,
+                        in_specs=(P(), P(), P('data')),
+                        out_specs=P('data'), check_vma=False)(
+                        params, stats, x)
+            self._forward_sia = _forward_sia
 
     def _build_batch(self, image, masks, bboxes, pair_idx):
         """-> (x, valid_hw): the (P, h, w, 5) pair batch plus the static
@@ -191,6 +220,12 @@ class OrderPredictor:
                                              np.asarray(bboxes,
                                                         np.float32)),
                                          jnp.asarray(pair_idx))
+        if (self.directions == 2 and self._forward_sia is not None
+                and valid_hw is None and self.use_rgb):
+            # folded-conv1 siamese: both directions from the un-swapped
+            # batch, no channel-swapped HBM copy
+            out1, out2 = self._forward_sia(self.params, self.stats, x1)
+            return pair_idx, jnp.asarray(valid), out1, out2, n
         if self.directions == 1:
             x = x1
         else:
@@ -324,7 +359,13 @@ def make_v2_predictor(params, stats, cfg, method, calib_batches,
                                  conv2_mode=conv2_mode, hwnc_io=hwnc_io,
                                  pipeline=pipeline), s
 
-    return OrderPredictor(apply_fn, cfg, qp, stats, method, **kw)
+    def siamese_fn(p, s, c, x):
+        return Q.apply_folded_v2_siamese(
+            p, c, x, use_pallas=use_pallas, conv2_mode=conv2_mode,
+            hwnc_io=hwnc_io, pipeline=pipeline)
+
+    return OrderPredictor(apply_fn, cfg, qp, stats, method,
+                          siamese_fn=siamese_fn, **kw)
 
 
 class DisparityOrderPredictor:
