@@ -21,6 +21,11 @@ def main():
     ap.add_argument('--load-model', default=None)
     ap.add_argument('--load-iter', default=None, type=int)
     ap.add_argument('--resume', action='store_true')
+    ap.add_argument('--auto-resume', action='store_true',
+                    help='elastic relaunch: if the run dir already has '
+                         'checkpoints, resume from the latest one (no '
+                         'path needed — the preemption/restart model: '
+                         'point the relauncher at the same command line)')
     ap.add_argument('--validate', action='store_true')
     ap.add_argument('--load_pretrain', '--load-pretrain', default=None,
                     help='torch state_dict/.pth.tar to merge strict=False '
@@ -64,6 +69,13 @@ def main():
             import os
             path = os.path.join(path, f'ckpt_iter_{args.load_iter}.ckpt')
         trainer.load(path, resume=args.resume)
+    elif args.auto_resume:
+        import os
+        from ..core.checkpoint import latest_checkpoint
+        latest = latest_checkpoint(
+            os.path.join(trainer.out_dir, 'checkpoints'))
+        if latest is not None:
+            trainer.load(latest, resume=True)
     trainer.run(validate_only=args.validate)
 
 

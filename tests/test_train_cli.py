@@ -21,6 +21,7 @@ def _run_cli(argv, monkeypatch):
         def __init__(self, cfg, n_devices=None, out_dir=None):
             calls['cfg'] = cfg
             calls['n_devices'] = n_devices
+            self.out_dir = out_dir or '.'
 
         def load(self, path, resume=False):
             calls['load'] = (path, resume)
@@ -82,3 +83,23 @@ def test_load_iter_path_join(tiny_config, monkeypatch):
         ['--config', tiny_config, '--load-model', '/ck', '--load-iter',
          '500', '--resume'], monkeypatch)
     assert calls['load'] == ('/ck/ckpt_iter_500.ckpt', True)
+
+
+def test_auto_resume_finds_latest(tiny_config, monkeypatch, tmp_path):
+    """--auto-resume: elastic relaunch resumes from the newest checkpoint
+    in the run dir without a path argument."""
+    out = tmp_path / 'run'
+    ck = out / 'checkpoints'
+    ck.mkdir(parents=True)
+    (ck / 'ckpt_iter_2.ckpt').write_bytes(b'x')
+    (ck / 'ckpt_iter_10.ckpt').write_bytes(b'x')
+    calls, _ = _run_cli(['--config', tiny_config, '--auto-resume',
+                         '--out-dir', str(out)], monkeypatch)
+    assert calls['load'] == (str(ck / 'ckpt_iter_10.ckpt'), True)
+
+
+def test_auto_resume_fresh_run_no_load(tiny_config, monkeypatch, tmp_path):
+    out = tmp_path / 'fresh'
+    calls, _ = _run_cli(['--config', tiny_config, '--auto-resume',
+                         '--out-dir', str(out)], monkeypatch)
+    assert 'load' not in calls
