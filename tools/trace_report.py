@@ -226,6 +226,38 @@ def main():
             pct = 100.0 * ms / max(total, 1e-9)
             print(f'{ms:10.2f} {calls:6d}  {pct:5.1f}%  {lab}')
 
+        # stage rollup: bucket by the op's activation resolution (the
+        # first spatial dims in its result type) so the report reads as
+        # a per-layer flame summary — prep/stem/L1..L4/head
+        def _stage(name):
+            rhs = name.split(' = ', 1)[1] if ' = ' in name else ''
+            m = re.search(r'\[(\d+)(?:,(\d+))?(?:,(\d+))?(?:,(\d+))?\]',
+                          rhs)
+            if not m:
+                return 'scalar/other'
+            dims = [int(d) for d in m.groups() if d]
+            spatial = {256: 'prep(256^2)', 480: 'prep(480p)',
+                       128: 'stem(128^2)', 64: 'L1(64^2)', 32: 'L2(32^2)',
+                       16: 'L3(16^2)', 8: 'L4(8^2)'}
+            # find a dim that appears TWICE (h == w for every stage here)
+            for d, lab in spatial.items():
+                if dims.count(d) >= 2:
+                    return lab
+            if 480 in dims or 640 in dims:
+                return 'prep(480p)'
+            return 'head/other'
+
+        agg = {}
+        for ms, calls, name in rows:
+            a = agg.setdefault(_stage(name), [0.0, 0])
+            a[0] += ms
+            a[1] += calls
+        print('  -- by stage --')
+        for lab, (ms, calls) in sorted(agg.items(),
+                                       key=lambda kv: -kv[1][0]):
+            pct = 100.0 * ms / max(total, 1e-9)
+            print(f'{ms:10.2f} {calls:6d}  {pct:5.1f}%  {lab}')
+
 
 if __name__ == '__main__':
     main()
