@@ -286,8 +286,22 @@ class Trainer:
             if self.curr_step % print_freq == 0:
                 for logd in pending:
                     for k, v in logd.items():
-                        recorder.setdefault(k, AverageMeter(10)).update(
-                            float(v))
+                        v = float(v)
+                        # failure detection (SURVEY §5): a NaN/Inf loss
+                        # silently poisons every later step — fail fast
+                        # with the step number so the relauncher
+                        # (--auto-resume) restarts from the last good
+                        # checkpoint instead of training garbage. The
+                        # check rides the print_freq materialisation, so
+                        # it costs no extra device sync.
+                        if k in tcfg.get('loss_record', ['loss']) and \
+                                not np.isfinite(v):
+                            raise FloatingPointError(
+                                f'non-finite {k}={v} at iter '
+                                f'{self.curr_step} — diverged; resume '
+                                f'from the last checkpoint with a lower '
+                                f'lr')
+                        recorder.setdefault(k, AverageMeter(10)).update(v)
                 pending.clear()
                 # reference trainer.py:185-193: lr + per-loss averages
                 self.summary.scalar('lr', lr, self.curr_step)

@@ -238,3 +238,23 @@ def test_tester_depth_eval(fixture):
         args2.order_method = method
         out2 = Tester(args2, n_images=2).run()
         assert 'WHDR_ovlOX_all' in out2
+
+
+def test_nan_loss_fails_fast(fixture, tmp_path):
+    """Failure detection (SURVEY §5): a non-finite loss aborts the run
+    with the step number rather than silently training garbage."""
+    from instaorder_tpu.train.trainer import Trainer
+
+    args = make_args(fixture, total_iter=2)
+    args.trainer['print_freq'] = 1
+    t = Trainer(args, n_devices=2, out_dir=str(tmp_path / 'nanrun'))
+    real_step = t.train_step
+
+    def poisoned(params, stats, opt_state, batch, lr):
+        params, stats, opt_state, logs = real_step(params, stats,
+                                                   opt_state, batch, lr)
+        return params, stats, opt_state, {'loss': float('nan')}
+
+    t.train_step = poisoned
+    with pytest.raises(FloatingPointError, match='iter 1'):
+        t.train()
