@@ -277,10 +277,10 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
                 iden = h8.astype(jnp.float32) * qb['sxr']
             h8 = jnp.clip(jnp.round(jnp.maximum(y + iden, 0.0)), 0, 127
                           ).astype(jnp.int8)
-    if is_t:
-        h8 = jnp.transpose(h8, (2, 0, 1, 3))
+    # pool directly in whichever view the trunk ended in — transposing
+    # (8, 8, N, 2048) back to NHWC just to mean over H, W is a relayout
     feat = h8.astype(jnp.float32) * q['s_feat']
-    pooled = jnp.mean(feat, axis=(1, 2))
+    pooled = jnp.mean(feat, axis=(0, 1) if is_t else (1, 2))
     if cfg['dual_head']:
         return (cnn.linear(q['fc_occ'], pooled),
                 cnn.linear(q['fc_depth'], pooled))
