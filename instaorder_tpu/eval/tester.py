@@ -118,11 +118,29 @@ class Tester:
                 input_size=args.data['input_size'])
             self.predictor = None
             return
+        # resnet_cls-family nets expose a top-level conv1: both swap
+        # directions can then run as ONE program on the un-swapped pair
+        # batch via the weight-permuted conv1 (mask channels 0,1 enter
+        # only there) — no channel-swapped batch copy in HBM
+        siamese_fn = None
+        if 'conv1' in params and args.model.get('use_rgb', True):
+            apply = bb['apply']
+
+            def siamese_fn(p, s, c, x):
+                cin = p['conv1']['w'].shape[2]
+                perm = [1, 0] + list(range(2, cin))
+                p2 = dict(p, conv1=dict(
+                    p['conv1'], w=p['conv1']['w'][:, :, perm, :]))
+                o1, _ = apply(p, s, c, x, train=False)
+                o2, _ = apply(p2, s, c, x, train=False)
+                return o1, o2
+
         self.predictor = OrderPredictor(
             bb['apply'], cfg, params, stats, self.order_method,
             patch_or_image=args.data['patch_or_image'],
             input_size=args.data['input_size'],
-            use_rgb=args.model.get('use_rgb', True))
+            use_rgb=args.model.get('use_rgb', True),
+            siamese_fn=siamese_fn)
 
     # -- data helpers --------------------------------------------------------
     def _load_scene(self, i, with_gt=True):

@@ -314,3 +314,34 @@ def test_single_direction_decode_rules():
     d1 = jnp.asarray(rng.randn(8, 3).astype(np.float32) * 3)
     arg = np.asarray(D.decode_depth(d1, None))
     np.testing.assert_array_equal(arg, np.argmax(np.asarray(d1), axis=1))
+
+
+def test_weight_permuted_siamese_matches_swapped_input():
+    """The Tester's conv1-weight-permuted siamese_fn must produce the
+    same order matrices as the generic swapped-input-concat path (the
+    mask channels enter the net only through conv1)."""
+    from instaorder_tpu.models import resnet
+    from instaorder_tpu.eval.pipeline import OrderPredictor
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(7), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(5)
+
+    def siamese_fn(p, s, c, x):
+        cin = p['conv1']['w'].shape[2]
+        perm = [1, 0] + list(range(2, cin))
+        p2 = dict(p, conv1=dict(p['conv1'],
+                                w=p['conv1']['w'][:, :, perm, :]))
+        o1, _ = resnet.apply(p, s, c, x, train=False)
+        o2, _ = resnet.apply(p2, s, c, x, train=False)
+        return o1, o2
+
+    base = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_o', patch_or_image='patch',
+                          input_size=64)
+    fold = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_o', patch_or_image='patch',
+                          input_size=64, siamese_fn=siamese_fn)
+    m1 = np.asarray(base.infer_occ_order(image, masks, bboxes))
+    m2 = np.asarray(fold.infer_occ_order(image, masks, bboxes))
+    np.testing.assert_array_equal(m1, m2)
