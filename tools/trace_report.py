@@ -20,6 +20,68 @@ os.environ.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION', 'python')
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
+import re
+
+
+def classify_parts(name):
+    """(lhs name, opcode) of one xplane HLO row. Classify on these ONLY
+    — the full HLO text embeds operand names, so a substring match over
+    it mislabels (e.g. a conv fusion reading %copy.139 is not a
+    relayout; an XLA %fused_convert is not a pallas call)."""
+    lhs = name.split(' = ', 1)[0].lstrip('%')
+    # opcode = first lowercase word directly followed by '(' in the
+    # RHS; robust to tuple return types (whose parens hold only dtypes
+    # like bf16[...] / layout tokens like T(8,128), which are either
+    # uppercase or not word-then-paren)
+    rhs = name.split(' = ', 1)[1] if ' = ' in name else ''
+    m = re.search(r'([a-z][a-z0-9_-]*)\(', rhs)
+    return lhs, (m.group(1) if m else '')
+
+
+def classify_kind(name):
+    lhs, opcode = classify_parts(name)
+    if opcode == 'custom-call':
+        if 'hwnc_stage' in lhs:
+            return 'pallas hwnc stage'
+        if 'hwnc' in lhs:
+            return 'pallas hwnc'
+        return 'pallas other'
+    if 'clamp_convert' in lhs:
+        return 'quantize epilogue'
+    if opcode == 'convolution' or 'conv' in lhs:
+        return 'convolution'
+    if opcode == 'dot' or 'dot' in lhs:
+        return 'matmul'
+    if (opcode in ('transpose', 'copy', 'bitcast')
+            or lhs.startswith(('transpose', 'copy', 'bitcast'))):
+        return 'relayout/copy'
+    if opcode == 'fusion':
+        return 'fusion (elementwise/quantize)'
+    if opcode.startswith('reduce') or 'reduce' in lhs:
+        return 'reduce'
+    return 'other'
+
+
+def classify_stage(name):
+    """Bucket by the op's activation resolution (first spatial dims in
+    its result type): prep/stem/L1..L4/head flame summary."""
+    rhs = name.split(' = ', 1)[1] if ' = ' in name else ''
+    m = re.search(r'\[([\d,]+)\]', rhs)
+    if not m:
+        return 'scalar/other'
+    dims = [int(d) for d in m.group(1).split(',') if d]
+    spatial = {256: 'prep(256^2)', 480: 'prep(480p)', 128: 'stem(128^2)',
+               64: 'L1(64^2)', 32: 'L2(32^2)', 16: 'L3(16^2)',
+               8: 'L4(8^2)'}
+    # a dim that appears TWICE (h == w for every stage here)
+    for d, lab in spatial.items():
+        if dims.count(d) >= 2:
+            return lab
+    if 480 in dims or 640 in dims:
+        return 'prep(480p)'
+    return 'head/other'
+
+
 def build_megastep(args):
     import jax
     jax.config.update('jax_compilation_cache_dir',
@@ -174,50 +236,11 @@ def main():
         print(f'\n== line [{ln}]  total {total:.1f} ms over 3 steps ==')
         for ms, calls, name in rows[:args.top]:
             print(f'{ms:10.2f} {calls:6d}  {name[:110]}')
-        # class rollup: group ops by kind so the report reads as a
-        # budget, not a flat op list. Classify on the op's LHS name and
-        # opcode ONLY — the full HLO text embeds operand names, so a
-        # substring match over it mislabels (e.g. a conv fusion reading
-        # %copy.139 is not a relayout; an XLA %fused_convert is not a
-        # pallas call).
-        import re
-
-        def _parts(name):
-            lhs = name.split(' = ', 1)[0].lstrip('%')
-            # opcode = first lowercase word directly followed by '(' in
-            # the RHS; robust to tuple return types (whose parens hold
-            # only dtypes like bf16[...] / layout tokens like T(8,128),
-            # which are either uppercase or not word-then-paren)
-            rhs = name.split(' = ', 1)[1] if ' = ' in name else ''
-            m = re.search(r'([a-z][a-z0-9_-]*)\(', rhs)
-            return lhs, (m.group(1) if m else '')
-
-        def _classify(name):
-            lhs, opcode = _parts(name)
-            if opcode == 'custom-call':
-                if 'hwnc_stage' in lhs:
-                    return 'pallas hwnc stage'
-                if 'hwnc' in lhs:
-                    return 'pallas hwnc'
-                return 'pallas other'
-            if 'clamp_convert' in lhs:
-                return 'quantize epilogue'
-            if opcode == 'convolution' or 'conv' in lhs:
-                return 'convolution'
-            if opcode == 'dot' or 'dot' in lhs:
-                return 'matmul'
-            if (opcode in ('transpose', 'copy', 'bitcast')
-                    or lhs.startswith(('transpose', 'copy', 'bitcast'))):
-                return 'relayout/copy'
-            if opcode == 'fusion':
-                return 'fusion (elementwise/quantize)'
-            if opcode.startswith('reduce') or 'reduce' in lhs:
-                return 'reduce'
-            return 'other'
-
+        # class + stage rollups (module-level classifiers,
+        # unit-tested in tests/test_trace_report.py)
         agg = {}
         for ms, calls, name in rows:
-            a = agg.setdefault(_classify(name), [0.0, 0])
+            a = agg.setdefault(classify_kind(name), [0.0, 0])
             a[0] += ms
             a[1] += calls
         print('  -- rollup --')
@@ -226,30 +249,9 @@ def main():
             pct = 100.0 * ms / max(total, 1e-9)
             print(f'{ms:10.2f} {calls:6d}  {pct:5.1f}%  {lab}')
 
-        # stage rollup: bucket by the op's activation resolution (the
-        # first spatial dims in its result type) so the report reads as
-        # a per-layer flame summary — prep/stem/L1..L4/head
-        def _stage(name):
-            rhs = name.split(' = ', 1)[1] if ' = ' in name else ''
-            m = re.search(r'\[(\d+)(?:,(\d+))?(?:,(\d+))?(?:,(\d+))?\]',
-                          rhs)
-            if not m:
-                return 'scalar/other'
-            dims = [int(d) for d in m.groups() if d]
-            spatial = {256: 'prep(256^2)', 480: 'prep(480p)',
-                       128: 'stem(128^2)', 64: 'L1(64^2)', 32: 'L2(32^2)',
-                       16: 'L3(16^2)', 8: 'L4(8^2)'}
-            # find a dim that appears TWICE (h == w for every stage here)
-            for d, lab in spatial.items():
-                if dims.count(d) >= 2:
-                    return lab
-            if 480 in dims or 640 in dims:
-                return 'prep(480p)'
-            return 'head/other'
-
         agg = {}
         for ms, calls, name in rows:
-            a = agg.setdefault(_stage(name), [0.0, 0])
+            a = agg.setdefault(classify_stage(name), [0.0, 0])
             a[0] += ms
             a[1] += calls
         print('  -- by stage --')
