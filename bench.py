@@ -163,8 +163,9 @@ def main():
         # quantize weights (models/quantize.py). 'int8' = v2 boundary
         # storage (bf16 compute); 'int8c' = round-2 full int8 compute.
         from instaorder_tpu.models import quantize as Q
-        # calibration needs the f32 folded params, before the bf16 cast
-        folded_f32 = fold_resnet(params, stats, cfg)
+        # calibration needs the f32 folded params; `folded` is still the
+        # f32 tree here (the bf16 cast only runs for --dtype bf16)
+        folded_f32 = folded
         calib_x = np.asarray(jax.jit(prep_all)(
             jnp.asarray(images), jnp.asarray(masks),
             jnp.asarray(bboxes))).astype(np.float32)
@@ -185,16 +186,25 @@ def main():
                 pipeline=args.hwnc_pipeline)
         else:
             qparams = Q.quantize_folded_resnet(folded_f32, cfg, scales)
-            if args.bt_budget_mb:
-                print('note: --bt-budget-mb only affects the bf16/v2 '
-                      'kernels; ignored for --dtype int8c',
-                      file=sys.stderr)
+            for flag, val, dflt in (
+                    ('--bt-budget-mb', args.bt_budget_mb, None),
+                    ('--band-budget-mb', args.band_budget_mb, None),
+                    ('--iden-cin-cap', args.iden_cin_cap, None),
+                    ('--hwnc-io', args.hwnc_io, 'float')):
+                if val != dflt:
+                    print(f'note: {flag} is ignored for --dtype int8c',
+                          file=sys.stderr)
+            if args.hwnc_conv2 == 'scatter16':
+                sys.exit('--hwnc-conv2 scatter16 is a float-compute '
+                         'mode; int8c supports im2col/acc/scatter')
             apply_one = functools.partial(
                 Q.apply_folded_int8, cfg=cfg, use_pallas=pallas,
-                stem_chunks=args.stem_chunks)
+                stem_chunks=args.stem_chunks,
+                conv2_mode=args.hwnc_conv2, pipeline=args.hwnc_pipeline)
             apply_sia = functools.partial(
                 Q.apply_folded_int8_siamese, cfg=cfg, use_pallas=pallas,
-                stem_chunks=args.stem_chunks)
+                stem_chunks=args.stem_chunks,
+                conv2_mode=args.hwnc_conv2, pipeline=args.hwnc_pipeline)
 
         @jax.jit
         def megastep(qp, images, masks, bboxes):

@@ -73,7 +73,7 @@ def main():
         import os
         from ..core.checkpoint import latest_checkpoint
         latest = latest_checkpoint(
-            os.path.join(trainer.out_dir, 'checkpoints'))
+            os.path.join(trainer.folder, 'checkpoints'))
         if latest is not None:
             trainer.load(latest, resume=True)
     trainer.run(validate_only=args.validate)

@@ -179,7 +179,6 @@ def _save_disp_pngs(save_dir, img_name, pred_disp, gt_depth, image_chw,
     plt.imsave(os.path.join(save_dir, 'gt_disp', f'{name}.png'),
                gt_disp, cmap='inferno')
     rgb = unnormalize(image_chw)
-    rgb = np.clip(rgb, None, 1.0)
     plt.imsave(os.path.join(save_dir, 'rgb', f'{name}.png'),
                np.clip(rgb, 0.0, 1.0).transpose(1, 2, 0))
 

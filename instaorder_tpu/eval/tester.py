@@ -127,10 +127,9 @@ class Tester:
             apply = bb['apply']
 
             def siamese_fn(p, s, c, x):
-                cin = p['conv1']['w'].shape[2]
-                perm = [1, 0] + list(range(2, cin))
+                from ..models.folding import swap_conv1_w
                 p2 = dict(p, conv1=dict(
-                    p['conv1'], w=p['conv1']['w'][:, :, perm, :]))
+                    p['conv1'], w=swap_conv1_w(p['conv1']['w'])))
                 o1, _ = apply(p, s, c, x, train=False)
                 o2, _ = apply(p2, s, c, x, train=False)
                 return o1, o2

@@ -74,6 +74,16 @@ def _pallas_features(use_pallas, default=_PALLAS_DEFAULT):
     return feats
 
 
+def swap_conv1_w(w):
+    """conv1 weights with input-channel rows 0,1 exchanged (HWIO axis
+    2): conv1(swap(x)) == conv1'(x) for the pair-mask channel swap —
+    the ONE place the mask order enters any net. Shared by every
+    siamese fold (bf16/v2/int8c paths, the Tester's weight-permuted
+    forward, tests)."""
+    perm = [1, 0] + list(range(2, w.shape[2]))
+    return w[:, :, perm, :]
+
+
 def _xla_stem(conv1, x, chunks=1):
     """conv1 7x7/2 + relu + maxpool in XLA. chunks > 1 bounds the
     transient (N, H/2, W/2, 64) conv output (lane-padded it is 2x 4GB at
@@ -115,9 +125,7 @@ def apply_folded_siamese(params, cfg, x, dtype=None, use_pallas=False,
 
     Returns (out1, out2)."""
     feats = _pallas_features(use_pallas)
-    cin = params['conv1']['w'].shape[2]
-    perm = [1, 0] + list(range(2, cin))
-    swapped_conv1 = {'w': params['conv1']['w'][:, :, perm, :],
+    swapped_conv1 = {'w': swap_conv1_w(params['conv1']['w']),
                      'b': params['conv1']['b']}
     if dtype is not None:
         x = x.astype(dtype)
@@ -251,8 +259,7 @@ def _apply_trunk(params, cfg, out, use_pallas=False, iden_cin_cap=None,
                              ('down1' in feats and stride == 1)) and
                             block == 'bottleneck' and
                             groups == 1 and 'down' in bp
-                            and bp['conv1']['w'].shape[2] <=
-                            _pb.IDEN_CIN_CAP)
+                            and bp['conv1']['w'].shape[2] <= cap)
             if fusable_down:
                 out = _pb.fused_bottleneck_down(
                     out,

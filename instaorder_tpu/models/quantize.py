@@ -197,8 +197,11 @@ def _pallas_features(use_pallas):
     return shared(use_pallas, default=_PALLAS_DEFAULT_INT8)
 
 
-def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
-    """int8 stem output -> f32 head logits."""
+def _apply_trunk_int8(q, cfg, h8, use_pallas=True, conv2_mode='im2col',
+                      pipeline=False):
+    """int8 stem output -> f32 head logits. conv2_mode/pipeline: the
+    hwnc identity kernel's 3x3 strategy and band-order knobs (scatter16
+    is float-only; im2col/acc/scatter are valid here)."""
     feats = _pallas_features(use_pallas)
     groups = cfg['groups']
     assert groups == 1, 'int8 path: groups>1 stays on the bf16 path'
@@ -218,7 +221,8 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True):
                     h8, qb['conv1']['w'][0, 0], qb['conv1']['m'],
                     qb['conv1']['b'], qb['conv2']['w'], qb['conv2']['m'],
                     qb['conv2']['b'], qb['conv3']['w'][0, 0],
-                    qb['conv3']['m'], qb['conv3']['b'], qb['sxr'])
+                    qb['conv3']['m'], qb['conv3']['b'], qb['sxr'],
+                    conv2_mode=conv2_mode, pipeline=pipeline)
                 continue
             if 'down' in qb and 'hwnc' in feats and 'down' in feats:
                 # layout-native int8 projection kernels: the NHWC down
@@ -317,11 +321,13 @@ def _stem_int8(q, x8, use_pallas=False, chunks=1):
                                          x8.shape[2] // 4, -1)
 
 
-def apply_folded_int8(q, cfg, x, use_pallas=True, stem_chunks=1):
+def apply_folded_int8(q, cfg, x, use_pallas=True, stem_chunks=1,
+                      conv2_mode='im2col', pipeline=False):
     """f32/bf16 prep output -> int8 trunk -> f32 logits."""
     x8 = quantize_input(x, q['cfg_scales']['in'])
     h8 = _stem_int8(q, x8, use_pallas=use_pallas, chunks=stem_chunks)
-    return _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
+    return _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas,
+                             conv2_mode=conv2_mode, pipeline=pipeline)
 
 
 # ---------------------------------------------------------------------------
@@ -646,9 +652,8 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
     """Both swap directions via the folded-conv1 trick
     (models/folding.py:95-140): conv1(swap(x)) == conv1'(x) with input
     channel rows 0,1 exchanged."""
-    cin = q['conv1']['w'].shape[2]
-    perm = [1, 0] + list(range(2, cin))
-    conv1_sw = dict(q['conv1'], w=q['conv1']['w'][:, :, perm, :])
+    from .folding import swap_conv1_w
+    conv1_sw = dict(q['conv1'], w=swap_conv1_w(q['conv1']['w']))
     # double-width stem: both directions' conv1 weights concatenated on
     # the output-channel axis — ONE conv reads the input once at full
     # 128-lane MXU width, then the channel halves become the two batch
@@ -670,13 +675,13 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
     return out[:n], out[n:]
 
 
-def apply_folded_int8_siamese(q, cfg, x, use_pallas=True, stem_chunks=1):
+def apply_folded_int8_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
+                              conv2_mode='im2col', pipeline=False):
     """Both swap directions without a swapped input copy (the folded-bf16
     trick, models/folding.py:54-85): conv1(swap(x)) == conv1'(x) with
     input-channel rows 0,1 exchanged."""
-    cin = q['conv1']['w'].shape[2]
-    perm = [1, 0] + list(range(2, cin))
-    conv1_sw = dict(q['conv1'], w=q['conv1']['w'][:, :, perm, :])
+    from .folding import swap_conv1_w
+    conv1_sw = dict(q['conv1'], w=swap_conv1_w(q['conv1']['w']))
     x8 = quantize_input(x, q['cfg_scales']['in'])
     # double-width stem (see apply_folded_v2_siamese): both directions'
     # conv1 concatenated on the output-channel axis — per-channel m/b
@@ -691,7 +696,8 @@ def apply_folded_int8_siamese(q, cfg, x, use_pallas=True, stem_chunks=1):
                       chunks=stem_chunks)
     c = hcat.shape[-1] // 2
     h8 = jnp.concatenate([hcat[..., :c], hcat[..., c:]], axis=0)
-    out = _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas)
+    out = _apply_trunk_int8(q, cfg, h8, use_pallas=use_pallas,
+                            conv2_mode=conv2_mode, pipeline=pipeline)
     n = x.shape[0]
     if isinstance(out, tuple):
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)

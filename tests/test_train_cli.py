@@ -21,7 +21,7 @@ def _run_cli(argv, monkeypatch):
         def __init__(self, cfg, n_devices=None, out_dir=None):
             calls['cfg'] = cfg
             calls['n_devices'] = n_devices
-            self.out_dir = out_dir or '.'
+            self.folder = out_dir or '.'  # real Trainer attribute (trainer.py:117)
 
         def load(self, path, resume=False):
             calls['load'] = (path, resume)

@@ -59,6 +59,8 @@ def test_train_checkpoint_resume(fixture, tmp_path):
     args = make_args(fixture)
     out = str(tmp_path / 'run1')
     t = Trainer(args, n_devices=2, out_dir=out)
+    # attribute contract relied on by cli/train.py --auto-resume
+    assert t.folder == out
     t.train()
     assert t.curr_step == 4
     ckpts = os.listdir(os.path.join(out, 'checkpoints'))

@@ -48,6 +48,9 @@ def classify_kind(name):
         return 'pallas other'
     if 'clamp_convert' in lhs:
         return 'quantize epilogue'
+    if (opcode in ('convert', 'bitcast-convert')
+            or lhs.startswith(('convert', 'bitcast-convert'))):
+        return 'relayout/copy'
     if opcode == 'convolution' or 'conv' in lhs:
         return 'convolution'
     if opcode == 'dot' or 'dot' in lhs:
