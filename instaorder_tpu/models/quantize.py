@@ -205,6 +205,12 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True, conv2_mode='im2col',
     feats = _pallas_features(use_pallas)
     groups = cfg['groups']
     assert groups == 1, 'int8 path: groups>1 stays on the bf16 path'
+    # hwnc kernels need an 8-aligned batch (sublane-adjacent dim; see
+    # _apply_trunk_v2) — pad with zero images, slice the pooled features
+    n_in = h8.shape[0]
+    pad8 = (-n_in) % 8
+    if 'hwnc' in feats and pad8:
+        h8 = jnp.pad(h8, ((0, pad8),) + ((0, 0),) * (h8.ndim - 1))
     is_t = False   # h8 currently in the (H, W, N, C) hwnc view
     for li in range(4):
         for bi, qb in enumerate(q[f'layer{li + 1}']):
@@ -284,7 +290,7 @@ def _apply_trunk_int8(q, cfg, h8, use_pallas=True, conv2_mode='im2col',
     # pool directly in whichever view the trunk ended in — transposing
     # (8, 8, N, 2048) back to NHWC just to mean over H, W is a relayout
     feat = h8.astype(jnp.float32) * q['s_feat']
-    pooled = jnp.mean(feat, axis=(0, 1) if is_t else (1, 2))
+    pooled = jnp.mean(feat, axis=(0, 1) if is_t else (1, 2))[:n_in]
     if cfg['dual_head']:
         return (cnn.linear(q['fc_occ'], pooled),
                 cnn.linear(q['fc_depth'], pooled))
@@ -503,6 +509,14 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     # blocks into ONE pallas call with the activation VMEM-resident
     # across blocks (no inter-block HBM round trips).
     hwnc_on = 'hwnc' in feats or 'hwncs' in feats
+    # the hwnc kernels ride the batch on the sublane-adjacent dim, so
+    # Mosaic needs it 8-aligned (an unaligned N fails layout inference
+    # on real hardware — interpret mode can't catch it); pad with zero
+    # images and slice the pooled features back
+    n_in = h8.shape[0]
+    pad8 = (-n_in) % 8
+    if hwnc_on and pad8 and any(ok):
+        h8 = jnp.pad(h8, ((0, pad8),) + ((0, 0),) * (h8.ndim - 1))
     is_t = False
     k = 0
     while k < len(blocks):
@@ -627,7 +641,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         h8 = _q8(y + iden)
         k += 1
     feat = h8.astype(jnp.float32) * q['s_feat']
-    pooled = jnp.mean(feat, axis=(0, 1) if is_t else (1, 2))
+    pooled = jnp.mean(feat, axis=(0, 1) if is_t else (1, 2))[:n_in]
     if cfg['dual_head']:
         return (cnn.linear(q['fc_occ'], pooled),
                 cnn.linear(q['fc_depth'], pooled))

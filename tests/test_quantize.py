@@ -353,6 +353,39 @@ def test_v2_siamese_swap_fold(v2_net):
         atol=1e-4)
 
 
+def test_v2_hwnc_unaligned_batch_padding(v2_net):
+    """The hwnc kernels ride the batch on the sublane-adjacent dim and
+    Mosaic rejects unaligned batches ON HARDWARE (interpret mode can't
+    see it — found live: batch 45 failed layout inference while the
+    1080-pair bench compiled). _apply_trunk_v2 now zero-pads the batch
+    to a multiple of 8 and slices the pooled features; padded entries
+    must not perturb the real ones."""
+    folded, cfg, qv2, xs = v2_net
+    from instaorder_tpu.ops import pallas_blocks
+    x3 = jnp.asarray(np.concatenate([xs[0], xs[1][:1]]))   # batch 3
+    want = np.asarray(Q.apply_folded_v2(qv2, cfg, x3, use_pallas=False))
+
+    names = ('fused_bottleneck_i8v2_hwnc', 'fused_bottleneck_i8v2_hwnc_stage')
+    origs = {n: getattr(pallas_blocks, n) for n in names}
+    for n in names:
+        setattr(pallas_blocks, n,
+                (lambda o: lambda *a, **kw: o(*a, **dict(kw,
+                                                         interpret=True)))(
+                    origs[n]))
+    try:
+        got = np.asarray(Q.apply_folded_v2(qv2, cfg, x3,
+                                           use_pallas=('hwnc',)))
+        got_s = np.asarray(Q.apply_folded_v2(qv2, cfg, x3,
+                                             use_pallas=('hwncs',)))
+    finally:
+        for n in names:
+            setattr(pallas_blocks, n, origs[n])
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / scale < 0.02
+    np.testing.assert_allclose(got_s, got, atol=1e-4)
+
+
 def test_calibration_scales_shape(small_net):
     folded, cfg, q, xs = small_net
     assert q['conv1']['w'].dtype == jnp.int8
