@@ -2011,9 +2011,12 @@ def _stem_v2_int8_kernel(xp_ref, w_ref, m_ref, b_ref, out_ref, hp_ref):
         a, sy = _S2_PLANE[dy]
         for dx in range(3):
             b, sx = _S2_PLANE[dx]
-            win = hp_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :]
+            # pool in i32: Mosaic has no i8 vector max (arith.maxsi on
+            # vector<...xi8> fails to legalize on hardware; found live)
+            win = hp_ref[a, b, :, sy:sy + Ho, sx:sx + Wo, :].astype(
+                jnp.int32)
             pooled = win if pooled is None else jnp.maximum(pooled, win)
-    out_ref[:] = pooled
+    out_ref[:] = pooled.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'batch_tile'))
