@@ -295,7 +295,8 @@ def make_folded_predictor(params, stats, cfg, method, dtype=None,
     decisions may flip — use the default f32 predictor for strict parity
     runs).
     """
-    from ..models.folding import fold_resnet, apply_folded
+    from ..models.folding import (fold_resnet, apply_folded,
+                                  apply_folded_siamese)
     from ..core.nn import tree_cast
 
     folded = fold_resnet(params, stats, cfg)
@@ -306,7 +307,15 @@ def make_folded_predictor(params, stats, cfg, method, dtype=None,
         return apply_folded(p, c, x, dtype=dtype,
                             use_pallas=use_pallas), s
 
-    return OrderPredictor(apply_fn, cfg, folded, stats, method, **kw)
+    def siamese_fn(p, s, c, x):
+        # folded-conv1 trick (models/folding.py:95-140): both swap
+        # directions from the un-swapped batch — no channel-swapped
+        # HBM copy at directions=2
+        return apply_folded_siamese(p, c, x, dtype=dtype,
+                                    use_pallas=use_pallas)
+
+    return OrderPredictor(apply_fn, cfg, folded, stats, method,
+                          siamese_fn=siamese_fn, **kw)
 
 
 def make_int8_predictor(params, stats, cfg, method, calib_batches,
@@ -330,7 +339,13 @@ def make_int8_predictor(params, stats, cfg, method, calib_batches,
     def apply_fn(p, s, c, x, train=False):
         return Q.apply_folded_int8(p, c, x, use_pallas=use_pallas), s
 
-    return OrderPredictor(apply_fn, cfg, qp, stats, method, **kw)
+    def siamese_fn(p, s, c, x):
+        # folded-conv1 trick: no channel-swapped HBM copy (see
+        # make_folded_predictor)
+        return Q.apply_folded_int8_siamese(p, c, x, use_pallas=use_pallas)
+
+    return OrderPredictor(apply_fn, cfg, qp, stats, method,
+                          siamese_fn=siamese_fn, **kw)
 
 
 def make_v2_predictor(params, stats, cfg, method, calib_batches,
