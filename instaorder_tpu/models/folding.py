@@ -57,7 +57,7 @@ def fold_resnet(params, stats, cfg):
 # 3342 > +stem 2999 pairs/s — the XLA-side space-to-depth copies feeding
 # the stride-2 kernels cost more than their VMEM residency saves.
 _PALLAS_VOCAB = frozenset(('identity', 'stage', 'sstage', 'down', 'down1',
-                           'down2', 'stem', 'hwnc', 'hwncs'))
+                           'down2', 'stem', 'hwnc', 'hwncs', 'hwncs1'))
 _PALLAS_DEFAULT = frozenset(('identity',))
 
 

@@ -86,6 +86,14 @@ def calibrate_folded_resnet(folded, cfg, xs):
             rec[f'layer{li + 1}'] = rl
         return rec
 
+    # bound the per-call HBM liveness: the f32 forward's layer1
+    # temporaries are 4MB/image x ~2 live copies, so a 2160-image
+    # calibration batch (bench --pairs-per-step 2160) peaks at ~17G and
+    # OOMs the 16G chip — absmax is chunk-associative, so split large
+    # batches (<=512 images keeps the peak ~4G)
+    _CAL_CHUNK = 512
+    xs = [x[i:i + _CAL_CHUNK] for x in xs
+          for i in range(0, int(x.shape[0]), _CAL_CHUNK)]
     recs = [jax.jit(one_batch)(jnp.asarray(x, jnp.float32)) for x in xs]
     import functools as _ft
     merged = jax.tree_util.tree_map(
@@ -446,16 +454,17 @@ def _stem_v2(q, x, chunks=1, use_pallas=False):
                                          x.shape[2] // 4, -1)
 
 
-# v2 default: layout-native hwnc identity kernels over the WHOLE trunk.
-# Measured (bench, 1080 pairs/step, same session): hwnc cap2048 4,480
-# pairs/s > hwnc cap512 4,418 > pure-XLA v2 4,278 > identity(nhwc)+float
-# inter-kernel IO 3,903 > identity s8-IO 3,798 > identity+down1 3,205.
+# v2 default: layout-native hwnc kernels over the WHOLE trunk —
+# identity blocks plus both projection-block kernel families.
+# Measured (bench, 1080 pairs/step): hwnc+down1+down2 5,019 pairs/s >
+# hwnc+down1 4,657 > hwnc-only 4,470 (same session, r3g sweep) >
+# pure-XLA v2 4,278 > identity(nhwc)+float inter-kernel IO 3,903.
 # The hwnc kernels run on the (H, W, N, C) view whose row-major layout
 # equals XLA's preferred conv layout {3,0,2,1}, so the XLA<->pallas
 # boundary transposes are bitcasts, not relayout copies — that tax is
 # what made the nhwc kernels lose to pure XLA. 'identity'/'down1' stay
 # available as explicit opt-ins; --no-pallas reproduces pure XLA.
-_PALLAS_DEFAULT_V2 = frozenset(('hwnc',))
+_PALLAS_DEFAULT_V2 = frozenset(('hwnc', 'down1', 'down2'))
 
 # hwnc identity kernels win at every depth (zero boundary tax), so the
 # default cap routes ALL stride-1 identity blocks through them.
@@ -477,7 +486,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     feats = shared(use_pallas, default=_PALLAS_DEFAULT_V2)
     if iden_cin_cap is not None:
         cap = iden_cin_cap
-    elif 'hwnc' in feats or 'hwncs' in feats:
+    elif 'hwnc' in feats or 'hwncs' in feats or 'hwncs1' in feats:
         cap = _HWNC_CIN_CAP
     else:
         cap = _pb.IDEN_CIN_CAP
@@ -499,7 +508,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         if 'down' in qb:
             return 'down1' in feats   # stride-1 projection (layer1[0])
         return ('identity' in feats or 'hwnc' in feats
-                or 'hwncs' in feats)
+                or 'hwncs' in feats or 'hwncs1' in feats)
 
     ok = [_kernel_ok(*b) for b in blocks]
     # 'hwnc': run identity kernels on the (H, W, N, C) view — its
@@ -508,7 +517,8 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     # 'hwncs': additionally fuse each RUN of consecutive identity
     # blocks into ONE pallas call with the activation VMEM-resident
     # across blocks (no inter-block HBM round trips).
-    hwnc_on = 'hwnc' in feats or 'hwncs' in feats
+    hwnc_on = ('hwnc' in feats or 'hwncs' in feats
+               or 'hwncs1' in feats)
     # the hwnc kernels ride the batch on the sublane-adjacent dim, so
     # Mosaic needs it 8-aligned (an unaligned N fails layout inference
     # on real hardware — interpret mode can't catch it); pad with zero
@@ -559,6 +569,11 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             if not is_t:
                 h8 = jnp.transpose(h8, (1, 2, 0, 3))
                 is_t = True
+            if 'hwncs1' in feats:
+                # the layer1 stage run that follows needs an s8 input
+                # window to fit 'act' staging in scoped VMEM (see the
+                # stage-fusion branch below)
+                out_i8 = True
             h8 = _pb.fused_bottleneck_down_i8v2_hwnc(
                 h8, qb['conv1']['w'][0, 0], qb['conv1']['b'],
                 qb['conv2']['w'], qb['conv2']['b'],
@@ -580,7 +595,16 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             h, w = h8.shape[0], h8.shape[1]
             cin1 = qb['conv1']['w'].shape[2]
             act_fits = h * w * cin1 <= 600_000
-            if 'hwncs' in feats and act_fits:
+            # 'hwncs1': stage-fuse layer1's identity pair TOO (where the
+            # boundary traffic is biggest — the traced whale). Fits 'act'
+            # staging at the B=8 tile the wrapper picks there IF the
+            # run's input is s8 (the down1 branch above forces its
+            # epilogue to s8 under this feature): in-window 16.8M +
+            # bf16 out 33.6M + act scratch 16.8M + h1p 4.5M + bands 6M
+            # ~= 78M scoped < the ~104.5M ceiling. (The round-3
+            # exclusion measured 'out' staging pre-down-kernels.)
+            if (('hwncs' in feats and act_fits)
+                    or ('hwncs1' in feats and li == 0)):
                 j = k
                 while (j < len(blocks) and ok[j]
                        and 'down' not in blocks[j][2]):

@@ -302,6 +302,9 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
             qv2, cfg, x, use_pallas=('hwnc', 'down1')))
         got_hwnc_d2 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc', 'down1', 'down2')))
+        got_hwncs1 = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down1', 'down2',
+                                     'hwncs1')))
         got_hwnc_s8 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc',), hwnc_io='s8'))
         got_hwnc_sc = np.asarray(Q.apply_folded_v2(
@@ -324,6 +327,10 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     # stage-fused hwnc carries the same quantized integers through the
     # run as per-block hwnc: identical math, VMEM-resident activation
     np.testing.assert_allclose(got_hwncs, got_hwnc, atol=1e-4)
+    # layer1 stage fusion (hwncs1): down1's forced-s8 epilogue and the
+    # 'act'-staged run carry the same quantized integers — identical to
+    # the per-block down12 path
+    np.testing.assert_allclose(got_hwncs1, got_hwnc_d2, atol=1e-4)
     # s8 inter-kernel storage holds the same quantized integers as the
     # float storage (0..127 exact in bf16): bit-identical results
     np.testing.assert_allclose(got_hwnc_s8, got_hwnc, atol=1e-4)

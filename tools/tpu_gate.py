@@ -37,6 +37,8 @@ CONFIGS = [
     ('v2-down12', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2')}),
     ('v2-stem', 'int8', {'use_pallas': ('hwnc', 'stem')}),
     ('v2-hwncs', 'int8', {'use_pallas': ('hwncs',)}),
+    ('v2-hwncs1', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
+                                          'hwncs1')}),
     ('v2-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2', 'stem'),
                         'conv2_mode': 'scatter'}),
     ('int8c-default', 'int8c', {}),
