@@ -597,12 +597,12 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             act_fits = h * w * cin1 <= 600_000
             # 'hwncs1': stage-fuse layer1's identity pair TOO (where the
             # boundary traffic is biggest — the traced whale). Fits 'act'
-            # staging at the B=8 tile the wrapper picks there IF the
-            # run's input is s8 (the down1 branch above forces its
-            # epilogue to s8 under this feature): in-window 16.8M +
-            # bf16 out 33.6M + act scratch 16.8M + h1p 4.5M + bands 6M
-            # ~= 78M scoped < the ~104.5M ceiling. (The round-3
-            # exclusion measured 'out' staging pre-down-kernels.)
+            # staging at the B=8 tile the wrapper picks there IF both
+            # run boundaries are s8 (the down1 branch above forces its
+            # epilogue s8; run_out_i8 forced below): with a bf16 out
+            # window the double-buffered grid measures 101.55M scoped
+            # (> the 100M limit); s8 out drops it to ~84.8M. (The
+            # round-3 exclusion measured 'out' staging pre-down-kernels.)
             if (('hwncs' in feats and act_fits)
                     or ('hwncs1' in feats and li == 0)):
                 j = k
@@ -618,6 +618,13 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                 rs = jnp.stack([jnp.asarray(rqb['r'], jnp.float32)
                                 for rqb in run])
                 run_out_i8 = not (j < len(ok) and ok[j])
+                if li == 0:
+                    # layer1: a bf16 out window pushes the stage
+                    # kernel's scoped VMEM to 101.55M > the 100M limit
+                    # once the grid double-buffers (measured on-device;
+                    # N=8/grid=1 compiles, N=360/grid=45 does not) —
+                    # emit s8, like the per-block path's forced-s8 rule
+                    run_out_i8 = True
                 h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
                     h8, *flat, rs, nblocks=len(run),
                     bt_budget=bt_budget, out_int8=run_out_i8,

@@ -128,7 +128,7 @@ def main():
         try:
             got = run(dtype, **kw)
         except Exception as e:  # noqa: BLE001 — report and continue
-            print(json.dumps({'config': name, 'error': repr(e)[:300]}))
+            print(json.dumps({'config': name, 'error': repr(e)[:4000]}))
             failures.append(name)
             continue
         ref = oracle[dtype]
