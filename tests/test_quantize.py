@@ -400,3 +400,22 @@ def test_calibration_scales_shape(small_net):
     m = q['layer1'][0]['conv2']['m']
     assert m.shape == (q['layer1'][0]['conv2']['w'].shape[-1],)
     assert float(q['s_feat']) > 0
+
+
+def test_calibration_chunking_is_exact(small_net, monkeypatch):
+    """absmax is chunk-associative, so chunked calibration must match
+    the unchunked run up to XLA's batch-size-dependent conv reduction
+    order (ulp-level). The chunking bounds HBM liveness — the f32
+    forward at 2160 calibration images OOMed the 16G chip (round-4
+    fix for the pairs-2160 bench crash)."""
+    folded, cfg, _q, xs = small_net
+    big = np.concatenate([xs[0], xs[1]], axis=0)       # (4, 64, 64, 5)
+    want = Q.calibrate_folded_resnet(folded, cfg, [big])
+    monkeypatch.setattr(Q, 'CAL_CHUNK', 1)             # force 4 chunks
+    got = Q.calibrate_folded_resnet(folded, cfg, [big])
+    flat_w, _ = jax.tree_util.tree_flatten(want)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    assert len(flat_w) == len(flat_g) and flat_w
+    for a, b in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5)

@@ -104,13 +104,31 @@ def test_tensorboard_telemetry(fixture, tmp_path):
     assert b'train_loss' in data and b'lr' in data and b'val_loss' in data
 
 
-def test_wandb_config_raises_helpfully(fixture, tmp_path):
+def test_wandb_config_offline_fallback(fixture, tmp_path):
+    """`wandb: True` without the client (no egress here) captures the
+    run in wandb's offline layout — run dir + history.jsonl +
+    summary.json — instead of dropping the capability (reference
+    trainer.py:54-58 wandb.init)."""
+    import glob
+    import json
+
     from instaorder_tpu.train.trainer import Trainer
 
     args = make_args(fixture)
     args.trainer['wandb'] = True
-    with pytest.raises(RuntimeError, match='wandb is not installed'):
-        Trainer(args, n_devices=2, out_dir=str(tmp_path / 'wb'))
+    t = Trainer(args, n_devices=2, out_dir=str(tmp_path / 'wb'))
+    assert t.summary.active
+    t.summary.scalar('train_loss', 1.5, 3)
+    t.summary.close()
+    runs = glob.glob(str(tmp_path / 'wb' / '**' / 'wandb' / 'run-*'),
+                     recursive=True)
+    assert len(runs) == 1
+    hist = [json.loads(l) for l in
+            open(os.path.join(runs[0], 'history.jsonl'))]
+    assert hist and hist[-1]['train_loss'] == 1.5 and hist[-1]['_step'] == 3
+    summary = json.load(open(os.path.join(runs[0], 'summary.json')))
+    assert summary['train_loss'] == 1.5
+    assert os.path.exists(os.path.join(runs[0], 'config.json'))
 
 
 def test_tester_runs_occ(fixture, tmp_path):
