@@ -305,6 +305,9 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
         got_hwncs1 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc', 'down1', 'down2',
                                      'hwncs1')))
+        got_hwncs_all = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down1', 'down2', 'hwncs',
+                                     'hwncs1')))
         got_hwnc_s8 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc',), hwnc_io='s8'))
         got_hwnc_sc = np.asarray(Q.apply_folded_v2(
@@ -331,6 +334,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     # 'act'-staged run carry the same quantized integers — identical to
     # the per-block down12 path
     np.testing.assert_allclose(got_hwncs1, got_hwnc_d2, atol=1e-4)
+    # whole-trunk stage fusion (hwncs L2-4 + hwncs1 L1 + down kernels)
+    np.testing.assert_allclose(got_hwncs_all, got_hwnc_d2, atol=1e-4)
     # s8 inter-kernel storage holds the same quantized integers as the
     # float storage (0..127 exact in bf16): bit-identical results
     np.testing.assert_allclose(got_hwnc_s8, got_hwnc, atol=1e-4)

@@ -39,6 +39,8 @@ CONFIGS = [
     ('v2-hwncs', 'int8', {'use_pallas': ('hwncs',)}),
     ('v2-hwncs1', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
                                           'hwncs1')}),
+    ('v2-hwncs-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
+                                             'hwncs', 'hwncs1')}),
     ('v2-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2', 'stem'),
                         'conv2_mode': 'scatter'}),
     ('int8c-default', 'int8c', {}),
