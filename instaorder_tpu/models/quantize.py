@@ -468,7 +468,7 @@ def _stem_v2(q, x, chunks=1, use_pallas=False):
 # boundary transposes are bitcasts, not relayout copies — that tax is
 # what made the nhwc kernels lose to pure XLA. 'identity'/'down1' stay
 # available as explicit opt-ins; --no-pallas reproduces pure XLA.
-_PALLAS_DEFAULT_V2 = frozenset(('hwnc', 'down1', 'down2'))
+_PALLAS_DEFAULT_V2 = frozenset(('hwnc', 'down1', 'down2', 'hwncs1'))
 
 # hwnc identity kernels win at every depth (zero boundary tax), so the
 # default cap routes ALL stride-1 identity blocks through them.
