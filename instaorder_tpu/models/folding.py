@@ -57,7 +57,8 @@ def fold_resnet(params, stats, cfg):
 # 3342 > +stem 2999 pairs/s — the XLA-side space-to-depth copies feeding
 # the stride-2 kernels cost more than their VMEM residency saves.
 _PALLAS_VOCAB = frozenset(('identity', 'stage', 'sstage', 'down', 'down1',
-                           'down2', 'stem', 'hwnc', 'hwncs', 'hwncs1'))
+                           'down2', 'stem', 'stem2', 'qpool', 'hwnc',
+                           'hwncs', 'hwncs1', 'hwncs1d'))
 _PALLAS_DEFAULT = frozenset(('identity',))
 
 
@@ -82,6 +83,38 @@ def swap_conv1_w(w):
     forward, tests)."""
     perm = [1, 0] + list(range(2, w.shape[2]))
     return w[:, :, perm, :]
+
+
+def s2d_conv1_w(w):
+    """The 7x7/stride-2 stem conv re-expressed over a 2x2 space-to-depth
+    input ('stem2'): the MXU runs the stock stem at ~26% of peak because
+    Cin=5 starves the contraction dim (trace_r4_default.txt: 6.6 ms for
+    a 1.7 ms-at-peak conv). S2D quadruples Cin (5 -> 20) and shrinks the
+    kernel to 4x4 stride 1 — same taps, same math, MXU-shaped.
+
+    Derivation: out(i) = sum_ky w[ky] * x[2i + ky - 3]. With the input
+    padded (4, 2) and S2D'd as x2[u, (sy, c)] = xpad[2u + sy], the tap
+    ky = 2*du + sy - 1 lands at x2[i + du], du in 0..3 — so
+    w2[du, dxu, (sy, sx, c)] = w[2du+sy-1, 2dxu+sx-1, c] (zero where the
+    index leaves 0..6, i.e. the (du=0, sy=0) row/col)."""
+    C, Co = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = wp.reshape(4, 2, 4, 2, C, Co).transpose(0, 2, 1, 3, 4, 5)
+    return w2.reshape(4, 4, 4 * C, Co)
+
+
+def s2d_stem_input(x):
+    """Pad (4, 2)x(4, 2) and 2x2 space-to-depth: (N, H, W, C) ->
+    (N, H/2 + 3, W/2 + 3, 4C), lane order (sy, sx, c) to match
+    s2d_conv1_w. Requires even H, W. A VALID 4x4 stride-1 conv of
+    s2d_conv1_w(w) over this equals conv2d(w, x, stride=2, padding=3)
+    term-for-term."""
+    n, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+    x2 = xp.reshape(n, (H + 6) // 2, 2, (W + 6) // 2, 2, C)
+    return x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, (H + 6) // 2, (W + 6) // 2, 4 * C)
 
 
 def _xla_stem(conv1, x, chunks=1):

@@ -443,10 +443,34 @@ def _stem_v2(q, x, chunks=1, use_pallas=False):
         from ..ops.pallas_blocks import fused_stem
         return fused_stem(x.astype(cdt), q['conv1']['w'],
                           q['conv1']['b'], q8=True)
+    # 'stem2': the same conv re-expressed over a 2x2 space-to-depth
+    # input (folding.s2d_conv1_w) — Cin 5 -> 20 fills the MXU
+    # contraction dim the stock Cin=5 stem starves (26% of peak in
+    # trace_r4_default.txt). Same taps/same math; bf16 reassociation
+    # only.
+    stem2 = ('stem2' in feats and q['conv1']['w'].shape[:2] == (7, 7)
+             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+    if stem2:
+        from .folding import s2d_conv1_w, s2d_stem_input
+        p2 = {'w': s2d_conv1_w(q['conv1']['w']), 'b': q['conv1']['b']}
 
     def stem(xc):
-        h = cnn.conv2d(q['conv1'], xc.astype(cdt), stride=2, padding=3)
+        if stem2:
+            h = cnn.conv2d(p2, s2d_stem_input(xc.astype(cdt)),
+                           stride=1, padding=0)
+        else:
+            h = cnn.conv2d(q['conv1'], xc.astype(cdt), stride=2,
+                           padding=3)
         h = jnp.maximum(h, 0.0).astype(cdt)
+        if 'qpool' in feats:
+            # quantize BEFORE the pool: round/clip/relu and max are
+            # monotone, so max(q(a), q(b)) == q(max(a, b)) bit-for-bit
+            # (the docstring identity, used in the other direction).
+            # XLA fuses the quantize into the conv epilogue, so the
+            # pool reads s8 instead of bf16 — 4x less HBM traffic on
+            # the (N, 128, 128, 128) plane (trace_r4_default.txt
+            # fusion.17: 5.1 ms where the s8 floor is ~1.5).
+            return cnn.max_pool(_q8(h), 3, 2, 1)
         return _q8(cnn.max_pool(h, 3, 2, 1))
     n = x.shape[0]
     while chunks > 1 and n % chunks:
@@ -490,7 +514,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     feats = shared(use_pallas, default=_PALLAS_DEFAULT_V2)
     if iden_cin_cap is not None:
         cap = iden_cin_cap
-    elif 'hwnc' in feats or 'hwncs' in feats or 'hwncs1' in feats:
+    elif feats & {'hwnc', 'hwncs', 'hwncs1', 'hwncs1d'}:
         cap = _HWNC_CIN_CAP
     else:
         cap = _pb.IDEN_CIN_CAP
@@ -510,9 +534,11 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             # stride-2 projection (layer2/3/4[0]) — hwnc-only kernel
             return 'down2' in feats
         if 'down' in qb:
-            return 'down1' in feats   # stride-1 projection (layer1[0])
-        return ('identity' in feats or 'hwnc' in feats
-                or 'hwncs' in feats or 'hwncs1' in feats)
+            # stride-1 projection (layer1[0]); 'hwncs1d' fuses it into
+            # the layer1 stage kernel
+            return 'down1' in feats or 'hwncs1d' in feats
+        return bool(feats & {'identity', 'hwnc', 'hwncs', 'hwncs1',
+                             'hwncs1d'})
 
     ok = [_kernel_ok(*b) for b in blocks]
     # 'hwnc': run identity kernels on the (H, W, N, C) view — its
@@ -521,8 +547,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     # 'hwncs': additionally fuse each RUN of consecutive identity
     # blocks into ONE pallas call with the activation VMEM-resident
     # across blocks (no inter-block HBM round trips).
-    hwnc_on = ('hwnc' in feats or 'hwncs' in feats
-               or 'hwncs1' in feats)
+    hwnc_on = bool(feats & {'hwnc', 'hwncs', 'hwncs1', 'hwncs1d'})
     # the hwnc kernels ride the batch on the sublane-adjacent dim, so
     # Mosaic needs it 8-aligned (an unaligned N fails layout inference
     # on real hardware — interpret mode can't catch it); pad with zero
@@ -573,6 +598,33 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             if not is_t:
                 h8 = jnp.transpose(h8, (1, 2, 0, 3))
                 is_t = True
+            if 'hwncs1d' in feats:
+                # 'hwncs1d': ALL of layer1 — projection + identity run —
+                # as ONE stage kernel with the projection output staged
+                # in the 'act' scratch: the (64, 64, N, 256) s8 HBM
+                # round trip between down1 and the hwncs1 stage run
+                # (~2.8 ms at serving batch) disappears. s8 out forced
+                # like hwncs1 (bf16 out window > scoped-VMEM ceiling).
+                j = k + 1
+                while (j < len(blocks) and ok[j]
+                       and 'down' not in blocks[j][2]):
+                    j += 1
+                run = [blocks[i][2] for i in range(k + 1, j)]
+                flat = [qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                        qb['conv2']['w'], qb['conv2']['b'],
+                        qb['conv3']['w'][0, 0], qb['conv3']['b'],
+                        qb['down']['w'][0, 0], qb['down']['b']]
+                for rqb in run:
+                    flat += [rqb['conv1']['w'][0, 0], rqb['conv1']['b'],
+                             rqb['conv2']['w'], rqb['conv2']['b'],
+                             rqb['conv3']['w'][0, 0], rqb['conv3']['b']]
+                rs = jnp.stack([jnp.asarray(rqb['r'], jnp.float32)
+                                for rqb in run])
+                h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
+                    h8, *flat, rs, nblocks=len(run), down=True,
+                    bt_budget=bt_budget, out_int8=True, staging='act')
+                k = j
+                continue
             if 'hwncs1' in feats:
                 # the layer1 stage run that follows needs an s8 input
                 # window to fit 'act' staging in scoped VMEM (see the

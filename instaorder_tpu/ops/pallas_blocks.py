@@ -1407,15 +1407,24 @@ def fused_bottleneck_down_s2_int8_hwnc(x, w1, m1, b1, w2, m2, b2, w3, m3,
       wd, md.astype(jnp.float32), bd.astype(jnp.float32))
 
 
-def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
+def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging,
+                                       down=False):
     """Run `nblocks` consecutive v2 identity bottlenecks on one (H, W,
     B, C) tile with the activation resident in VMEM across blocks — the
     inter-block HBM round trip of the per-block hwnc kernel (write +
     re-read of the full activation per boundary) disappears.
 
-    refs layout: x_ref, then per block (w1, b1, w2, b2, w3, b3), then
-    r_ref (nblocks, 1) SMEM, out_ref, [act_ref], h1p_ref. Inter-block
-    staging:
+    refs layout: x_ref, [down (w1, b1, w2, b2, w3, b3, wd, bd) if
+    down], then per identity block (w1, b1, w2, b2, w3, b3), then
+    r_ref (nblocks, 1) SMEM, out_ref, [act_ref], h1p_ref.
+
+    down=True prepends the stride-1 PROJECTION bottleneck (ResNet-50
+    layer1[0]) — same body as _bottleneck_down_i8v2_hwnc_kernel, its
+    quantized output written to act_ref instead of HBM, so ALL of
+    layer1 is one pallas call (requires staging='act'; the projection
+    changes C so 'out' staging can't hold the intermediate).
+
+    Inter-block staging:
       'out' — stage through out_ref itself: inter-block values are
         quantized integers 0..127, exact in int8, so the out window
         doubles as the activation buffer. Cheapest VMEM (a dedicated
@@ -1426,26 +1435,61 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
       'act' — a compute-dtype VMEM scratch holds the quantized values
         exactly (0..127 in bf16): no repacking at all. Costs
         H*W*B*Cin*2 extra scoped VMEM, so the wrapper only picks it
-        where it fits (layers 2-4)."""
+        where it fits (layers 2-4, and layer1 with s8 windows)."""
+    assert not down or staging == 'act', 'projection prefix needs act'
+    nd = 8 if down else 0
     x_ref = refs[0]
-    r_ref = refs[1 + 6 * nblocks]
-    out_ref = refs[2 + 6 * nblocks]
-    act_ref = refs[3 + 6 * nblocks] if staging == 'act' else None
+    r_ref = refs[1 + nd + 6 * nblocks]
+    out_ref = refs[2 + nd + 6 * nblocks]
+    act_ref = refs[3 + nd + 6 * nblocks] if staging == 'act' else None
     h1p_ref = refs[-1]
-    H, W, B, Cin = x_ref.shape
+    H, W, B, _ = x_ref.shape
     rb = H // bands
+
+    if down:
+        (w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, wd_ref,
+         bd_ref) = refs[1:9]
+        Cin_d = x_ref.shape[-1]
+        Cm = w1_ref.shape[1]
+        cdt = w1_ref.dtype
+        _zero_border(h1p_ref)
+        for t in range(bands):
+            y0 = t * rb
+            xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin_d).astype(cdt)
+            h1 = jnp.dot(xb, w1_ref[:],
+                         preferred_element_type=jnp.float32)
+            h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+            h1p_ref[1 + y0:1 + y0 + rb, 1:W + 1, :, :] = h1.reshape(
+                rb, W, B, Cm)
+        # conv3 + the 1x1 projection as ONE K-packed matmul (see
+        # _bottleneck_down_i8v2_hwnc_kernel)
+        w3d = jnp.concatenate([w3_ref[:], wd_ref[:]], axis=0)
+        Cout = w3_ref.shape[1]
+        for t in range(bands):
+            y0 = t * rb
+            acc = _conv2_band(h1p_ref, w2_ref, y0, rb, 'im2col')
+            h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+            xb = x_ref[y0:y0 + rb].reshape(rb * W * B, Cin_d).astype(cdt)
+            out = jnp.dot(jnp.concatenate([h2, xb], axis=1), w3d,
+                          preferred_element_type=jnp.float32)
+            out = out + b3_ref[:] + bd_ref[:]
+            q = jnp.clip(jnp.round(out), 0.0, 127.0)
+            act_ref[y0:y0 + rb] = q.astype(act_ref.dtype).reshape(
+                rb, W, B, Cout)
 
     for k in range(nblocks):
         w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref = \
-            refs[1 + 6 * k:7 + 6 * k]
+            refs[1 + nd + 6 * k:7 + nd + 6 * k]
         Cm = w1_ref.shape[1]
         cdt = w1_ref.dtype
         if staging == 'act':
-            src = x_ref if k == 0 else act_ref
+            src = act_ref if (k == 0 and down) else (
+                x_ref if k == 0 else act_ref)
             dst = out_ref if k == nblocks - 1 else act_ref
         else:
             src = x_ref if k == 0 else out_ref
             dst = out_ref
+        Cin = src.shape[-1]
 
         # conv1 per band, relu'd into the padded scratch
         _zero_border(h1p_ref)
@@ -1478,28 +1522,47 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging):
 @functools.partial(jax.jit,
                    static_argnames=('nblocks', 'interpret', 'batch_tile',
                                     'bt_budget', 'out_int8', 'bands',
-                                    'staging'))
+                                    'staging', 'down'))
 def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
                                      batch_tile=None, bt_budget=None,
                                      out_int8=True, bands=None,
-                                     staging='out'):
+                                     staging='out', down=False):
     """Stage-fused v2 identity run on the (H, W, N, Cin) view: `nblocks`
     consecutive identity bottlenecks per pallas call. flat_wb is
-    (w1, b1, w2, b2, w3, b3) per block followed by rs (nblocks,) f32.
-    See fused_bottleneck_i8v2_hwnc for the layout/VMEM story and the
-    kernel docstring for the 'out'/'act' staging trade."""
-    assert len(flat_wb) == 6 * nblocks + 1, len(flat_wb)
+    [down (w1, b1, w2, b2, w3, b3, wd, bd) if down] then
+    (w1, b1, w2, b2, w3, b3) per identity block, followed by rs
+    (nblocks,) f32. down=True prepends the stride-1 projection block
+    (layer1[0]) so the whole stage — projection + identity run — is one
+    call: x is then the STEM output (H, W, N, Cin_stem) and the
+    projection output (Cout) never touches HBM. See
+    fused_bottleneck_i8v2_hwnc for the layout/VMEM story and the kernel
+    docstring for the 'out'/'act' staging trade."""
+    nd = 8 if down else 0
+    assert len(flat_wb) == nd + 6 * nblocks + 1, len(flat_wb)
+    assert not down or (staging == 'act' and nblocks >= 1)
+    # one shared (H+2, W+2, B, Cm) conv2 scratch: projection and
+    # identity blocks must agree on Cm (true across resnet50: every
+    # block of a stage has the same mid width)
+    assert all(flat_wb[i].shape[1] == flat_wb[0].shape[1]
+               for i in range(nd, nd + 6 * nblocks, 6)), 'Cm mismatch'
     rs = flat_wb[-1]
     wbs = []
+    if down:
+        w1, b1, w2, b2, w3, b3, wd, bd = flat_wb[:8]
+        wbs += [w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
+                w3, b3.astype(jnp.float32), wd, bd.astype(jnp.float32)]
     for k in range(nblocks):
-        w1, b1, w2, b2, w3, b3 = flat_wb[6 * k:6 * k + 6]
+        w1, b1, w2, b2, w3, b3 = flat_wb[nd + 6 * k:nd + 6 * k + 6]
         wbs += [w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32),
                 w3, b3.astype(jnp.float32)]
     H, W, N, Cin = x.shape
     Cm = flat_wb[0].shape[1]
+    # the activation channel width the identity run sees (= projection
+    # output width when down, else the input width)
+    Cact = flat_wb[4].shape[1] if down else Cin
     cdt = flat_wb[0].dtype
     if batch_tile is None:
-        per_img = H * W * Cin * 2 * 2
+        per_img = H * W * (Cin + Cact) * 2 if down else H * W * Cin * 2 * 2
         budget = BT_BUDGET if bt_budget is None else bt_budget
         batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
         while batch_tile > 0 and N % batch_tile:
@@ -1509,7 +1572,7 @@ def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
     B = batch_tile
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
     if bands is None:
-        per_row = W * B * (9 * Cm * 2 + Cin * 8)
+        per_row = W * B * (9 * Cm * 2 + Cact * 8)
         rb = max(1, (6 * 1024 * 1024) // max(per_row, 1))
         while H % rb:
             rb -= 1
@@ -1518,23 +1581,23 @@ def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
 
     scratch = []
     if staging == 'act':
-        scratch.append(pltpu.VMEM((H, W, B, Cin), cdt))
+        scratch.append(pltpu.VMEM((H, W, B, Cact), cdt))
     scratch.append(pltpu.VMEM((H + 2, W + 2, B, Cm), cdt))
     return pl.pallas_call(
         functools.partial(_bottleneck_i8v2_hwnc_stage_kernel, bands=bands,
-                          nblocks=nblocks, staging=staging),
+                          nblocks=nblocks, staging=staging, down=down),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 * nblocks) + [
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (nd + 6 * nblocks) + [
             pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((H, W, B, Cin), lambda i: (0, 0, i, 0),
+        out_specs=pl.BlockSpec((H, W, B, Cact), lambda i: (0, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            x.shape, jnp.int8 if out_int8 else cdt),
+            (H, W, N, Cact), jnp.int8 if out_int8 else cdt),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -308,6 +308,8 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
         got_hwncs_all = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc', 'down1', 'down2', 'hwncs',
                                      'hwncs1')))
+        got_hwncs1d = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down2', 'hwncs1d')))
         got_hwnc_s8 = np.asarray(Q.apply_folded_v2(
             qv2, cfg, x, use_pallas=('hwnc',), hwnc_io='s8'))
         got_hwnc_sc = np.asarray(Q.apply_folded_v2(
@@ -336,6 +338,10 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     np.testing.assert_allclose(got_hwncs1, got_hwnc_d2, atol=1e-4)
     # whole-trunk stage fusion (hwncs L2-4 + hwncs1 L1 + down kernels)
     np.testing.assert_allclose(got_hwncs_all, got_hwnc_d2, atol=1e-4)
+    # layer1 projection+identity single-call fusion (hwncs1d): the
+    # projection output staged in VMEM carries the same quantized
+    # integers as the down1-kernel + hwncs1-stage pair
+    np.testing.assert_allclose(got_hwncs1d, got_hwnc_d2, atol=1e-4)
     # s8 inter-kernel storage holds the same quantized integers as the
     # float storage (0..127 exact in bf16): bit-identical results
     np.testing.assert_allclose(got_hwnc_s8, got_hwnc, atol=1e-4)
@@ -348,6 +354,35 @@ def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     # fused v2 stem: same bf16 conv/pool/quantize math, f32-acc dots ->
     # boundary round ties only
     assert np.abs(got_hwnc_stem - want).max() / scale < 0.05
+
+
+def test_v2_stem2_s2d_matches_stock_stem(v2_net):
+    """'stem2' (2x2 space-to-depth stem, folding.s2d_conv1_w) is the
+    same conv term-for-term — f32 outputs differ only by reassociation,
+    so the int8 stem output may differ by round() ties (<=1 LSB,
+    rare)."""
+    _folded, _cfg, qv2, xs = v2_net
+    x = jnp.asarray(xs[0])
+    want = np.asarray(Q._stem_v2(qv2, x)).astype(np.int32)
+    got = np.asarray(Q._stem_v2(qv2, x, use_pallas=('stem2',))
+                     ).astype(np.int32)
+    d = np.abs(got - want)
+    assert d.max() <= 1, d.max()
+    assert (d != 0).mean() < 1e-3, (d != 0).mean()
+
+
+def test_v2_qpool_stem_bitexact(v2_net):
+    """'qpool' (quantize before the max-pool): round/clip/relu and max
+    are monotone, so the swap is exact — outputs must be bit-identical,
+    in both stem variants."""
+    _folded, _cfg, qv2, xs = v2_net
+    x = jnp.asarray(xs[0])
+    want = np.asarray(Q._stem_v2(qv2, x))
+    got = np.asarray(Q._stem_v2(qv2, x, use_pallas=('qpool',)))
+    np.testing.assert_array_equal(got, want)
+    w2 = np.asarray(Q._stem_v2(qv2, x, use_pallas=('stem2',)))
+    g2 = np.asarray(Q._stem_v2(qv2, x, use_pallas=('stem2', 'qpool')))
+    np.testing.assert_array_equal(g2, w2)
 
 
 def test_v2_siamese_swap_fold(v2_net):

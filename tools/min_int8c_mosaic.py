@@ -26,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--cases', default=None)
     ap.add_argument('--list', action='store_true')
+    ap.add_argument('--batch', type=int, default=8,
+                    help='batch size B for every case (the r3g gate that '
+                         'failed ran at 360; bench serves 1080)')
     args = ap.parse_args()
 
     import jax
@@ -67,23 +70,27 @@ def main():
         return pb.fused_stem_int8(u8(N, 256, 256, 5), s8(7, 7, 5, 64),
                                   f32(64), f32(64))
 
-    # trunk shapes at B=8 (the bench batch tile at every layer)
+    # trunk shapes at batch B (hwnc kernels tile batch internally, but
+    # the r3g gate failure only reproduces at gate/bench batch sizes —
+    # default B=8 isolates per-kernel shape triggers, --batch 360/1080
+    # isolates batch-dependent ones)
+    B = args.batch
     CASES = {
-        'iden-l1': lambda: iden(64, 64, 8, 256, 64),
-        'iden-l2': lambda: iden(32, 32, 8, 512, 128),
-        'iden-l3': lambda: iden(16, 16, 8, 1024, 256),
-        'iden-l4': lambda: iden(8, 8, 8, 2048, 512),
-        'iden-l1-small': lambda: iden(16, 16, 8, 256, 64),
-        'iden-l1-bands1': lambda: iden(16, 16, 8, 256, 64, bands=1),
-        'iden-l1-acc': lambda: iden(64, 64, 8, 256, 64,
+        'iden-l1': lambda: iden(64, 64, B, 256, 64),
+        'iden-l2': lambda: iden(32, 32, B, 512, 128),
+        'iden-l3': lambda: iden(16, 16, B, 1024, 256),
+        'iden-l4': lambda: iden(8, 8, B, 2048, 512),
+        'iden-l1-small': lambda: iden(16, 16, B, 256, 64),
+        'iden-l1-bands1': lambda: iden(16, 16, B, 256, 64, bands=1),
+        'iden-l1-acc': lambda: iden(64, 64, B, 256, 64,
                                     conv2_mode='acc'),
-        'iden-l1-scatter': lambda: iden(64, 64, 8, 256, 64,
+        'iden-l1-scatter': lambda: iden(64, 64, B, 256, 64,
                                         conv2_mode='scatter'),
-        'down1-l1': lambda: down_s1(64, 64, 8, 64, 64, 256),
-        'down2-l2': lambda: down_s2(64, 64, 8, 256, 128, 512),
-        'down2-l3': lambda: down_s2(32, 32, 8, 512, 256, 1024),
-        'down2-l4': lambda: down_s2(16, 16, 8, 1024, 512, 2048),
-        'stem-8': lambda: stem(8),
+        'down1-l1': lambda: down_s1(64, 64, B, 64, 64, 256),
+        'down2-l2': lambda: down_s2(64, 64, B, 256, 128, 512),
+        'down2-l3': lambda: down_s2(32, 32, B, 512, 256, 1024),
+        'down2-l4': lambda: down_s2(16, 16, B, 1024, 512, 2048),
+        'stem-8': lambda: stem(B),
     }
     if args.list:
         print('\n'.join(CASES))

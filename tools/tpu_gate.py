@@ -41,6 +41,11 @@ CONFIGS = [
                                           'hwncs1')}),
     ('v2-hwncs-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
                                              'hwncs', 'hwncs1')}),
+    ('v2-hwncs1d', 'int8', {'use_pallas': ('hwnc', 'down2', 'hwncs1d')}),
+    ('v2-stem2', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
+                                         'hwncs1', 'stem2')}),
+    ('v2-qpool', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
+                                         'hwncs1', 'qpool')}),
     ('v2-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2', 'stem'),
                         'conv2_mode': 'scatter'}),
     ('int8c-default', 'int8c', {}),
