@@ -133,18 +133,46 @@ def _crop_resize_nearest_one(mask, roi, out_size):
 
 def _interp_matrix(roi_off, roi_size, out_size, src_size, method='cubic'):
     """(out_size, src_size) dense interpolation matrix for one axis of a
-    cropped window — the crop+resize as a matmul. Rows hold the (up to 4)
-    cv2 taps scattered by one-hot comparison; out-of-image taps are zero
-    (the crop's zero padding)."""
+    cropped window — the crop+resize as a matmul. Out-of-image taps are
+    zero (the crop's zero padding); taps clamp to the crop window
+    (replicate).
+
+    Built by DIRECT grid evaluation: interior weight at source column s
+    is kernel((c - x0) - frac) with c = s - roi_off — the SAME float
+    expression as the tap-wise kernel(k - frac) (c - x0 is an exact
+    small integer), so the grid is bit-identical to the tap scatter
+    (test-enforced) — plus the clamp-accumulated tap mass at the crop
+    borders (columns c == 0 and c == floor(roi_size - 1), where the
+    original's int32 truncation of the fractional high clamp lands).
+    An earlier formulation scattered per-tap weights through a
+    (out, k, src) one-hot — 4x the grid traffic for the same matrix.
+    Requires integer-valued roi_off (pair_rois truncs; fractional size
+    is handled exactly via chigh)."""
     if method == 'nearest':
         idx, valid = _nearest_taps(roi_off, roi_size, out_size, src_size)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, src_size), 1)
         return (idx[:, None] == iota) * valid[:, None]
-    taps = _cubic_taps if method == 'cubic' else _linear_taps
-    idx, w, valid = taps(roi_off, roi_size, out_size, src_size)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, src_size), 2)
-    onehot = (idx[..., None] == iota).astype(jnp.float32)
-    return jnp.sum(onehot * (w * valid)[..., None], axis=1)
+    d = jnp.arange(out_size, dtype=jnp.float32)
+    f = (d + 0.5) * roi_size / out_size - 0.5
+    x0 = jnp.floor(f)
+    if method == 'cubic':
+        ks = jnp.arange(-1, 3, dtype=jnp.float32)
+        kern = lambda t: _cubic_kernel(t, xp=jnp).astype(jnp.float32)
+    else:
+        ks = jnp.arange(0, 2, dtype=jnp.float32)
+        kern = lambda t: jnp.maximum(0.0, 1.0 - jnp.abs(t))
+    frac = f - x0
+    w = kern(ks[None, :] - frac[:, None])              # (out, k) taps
+    tap = x0[:, None] + ks[None, :]
+    low = jnp.sum(w * (tap < 0.0), axis=1)             # clamped -> c=0
+    chigh = jnp.floor(roi_size - 1.0)
+    high = jnp.sum(w * (tap > roi_size - 1.0), axis=1)
+    c = (jax.lax.broadcasted_iota(jnp.float32, (1, src_size), 1)
+         - roi_off)                                    # crop coords
+    inwin = (c >= 0.0) & (c <= roi_size - 1.0)
+    m = kern((c - x0[:, None]) - frac[:, None]) * inwin
+    return (m + low[:, None] * (c == 0.0)
+            + high[:, None] * (c == chigh))
 
 
 @functools.partial(jax.jit,
@@ -190,13 +218,20 @@ def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
                                             'nearest'))(rois)
     Wxn = jax.vmap(lambda r: _interp_matrix(r[0], r[2], out_size, W,
                                             'nearest'))(rois)
-    # cast BEFORE the per-pair gather: each instance is duplicated into
-    # ~N-1 pairs, so gathering f32 and casting after moves 2x the bytes
-    # ({0,1} masks are exact in bf16)
-    masks_sel = masks.astype(jnp.bfloat16)[pair_idx.reshape(-1)].reshape(
+    # int8 storage end-to-end on the mask path: every intermediate is
+    # exactly {0, 1} (one-hot nearest resampling of binary masks), so s8
+    # is bit-exact and HALVES the two big HBM tensors vs bf16 — the
+    # (P, 2, H, W) gather output and the (P, 2, H, out) m1 intermediate
+    # (~2 GB/step at serving batch). The s8<->bf16 converts fuse into
+    # the producing/consuming matmuls; cast BEFORE the per-pair gather:
+    # each instance is duplicated into ~N-1 pairs, so gathering f32 and
+    # casting after moves 4x the bytes.
+    masks_sel = masks.astype(jnp.int8)[pair_idx.reshape(-1)].reshape(
         pair_idx.shape[0], 2, H, W)
-    m1 = jnp.einsum('pjw,pmhw->pmhj', Wxn.astype(jnp.bfloat16), masks_sel)
-    m_out = jnp.einsum('pih,pmhj->pmij', Wyn.astype(jnp.bfloat16), m1)
+    m1 = jnp.einsum('pjw,pmhw->pmhj', Wxn.astype(jnp.bfloat16),
+                    masks_sel.astype(jnp.bfloat16)).astype(jnp.int8)
+    m_out = jnp.einsum('pih,pmhj->pmij', Wyn.astype(jnp.bfloat16),
+                       m1.astype(jnp.bfloat16))
     out_dtype = rgb_out.dtype if dtype is None else dtype
     m_out = m_out.astype(out_dtype)
     rgb_out = rgb_out.astype(out_dtype)

@@ -111,6 +111,32 @@ def test_matmul_prep_highest_precision_matches_gather_exactly():
     np.testing.assert_allclose(got[..., 2:], want[..., 2:], atol=1e-6)
 
 
+def test_interp_matrix_direct_grid_equals_onehot_scatter():
+    """_interp_matrix is built by direct grid evaluation; it must equal
+    the definitional one-hot tap scatter BIT-FOR-BIT (same kernel
+    expressions, Sterbenz-exact subtraction) — including crops that
+    hang off the image and sub-pixel crop sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    def onehot_matrix(roi_off, roi_size, out_size, src_size, method):
+        taps = P._cubic_taps if method == 'cubic' else P._linear_taps
+        idx, w, valid = taps(roi_off, roi_size, out_size, src_size)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, src_size), 2)
+        onehot = (idx[..., None] == iota).astype(jnp.float32)
+        return jnp.sum(onehot * (w * valid)[..., None], axis=1)
+
+    rng = np.random.RandomState(0)
+    for method in ('cubic', 'linear'):
+        for _ in range(20):
+            off = float(rng.randint(-30, 100))        # trunc'd ints
+            size = float(rng.uniform(1.0, 150.0))     # fractional ok
+            got = np.asarray(P._interp_matrix(off, size, 32, 96, method))
+            want = np.asarray(onehot_matrix(off, size, 32, 96, method))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f'{method} {off} {size}')
+
+
 def test_collectives_gather():
     import jax
     from instaorder_tpu.parallel import make_mesh, shard_batch
