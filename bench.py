@@ -85,6 +85,12 @@ def main():
                     help='storage dtype of the prep row-interp '
                          'intermediate (bf16 halves ~800MB of HBM '
                          'traffic; 1-LSB pixel deviations possible)')
+    ap.add_argument('--prep-precision', default='high',
+                    choices=['high', 'default', 'highest'],
+                    help='matmul precision of the prep RGB resize '
+                         '(high = bf16_3x, ~f32-accurate under the '
+                         'uint8 round; default = 1-pass bf16, a pure '
+                         'serving knob — pixel rounds can deviate)')
     ap.add_argument('--stem-chunks', type=int, default=None,
                     help='sequential chunks for the XLA stem (bounds the '
                          '(N,128,128,64) conv-output HBM liveness); '
@@ -132,12 +138,16 @@ def main():
     sz = args.input_size
 
     s1dt = jnp.bfloat16 if args.prep_stage1 == 'bf16' else None
+    prep_prec = {'high': jax.lax.Precision.HIGH,
+                 'default': jax.lax.Precision.DEFAULT,
+                 'highest': jax.lax.Precision.HIGHEST}[args.prep_precision]
 
     def prep_all(images, masks, bboxes):
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx_j)
             return build_pair_batch_matmul(im, m, pair_idx_j, rois,
                                            out_size=sz, dtype=dtype,
+                                           precision=prep_prec,
                                            stage1_dtype=s1dt)
         x = jax.vmap(prep)(images, masks, bboxes)       # (S, P, sz, sz, 5)
         return x.reshape(-1, sz, sz, 5)

@@ -483,16 +483,19 @@ def _stem_v2(q, x, chunks=1, use_pallas=False):
 
 
 # v2 default: layout-native hwnc kernels over the WHOLE trunk —
-# identity blocks plus both projection-block kernel families.
-# Measured (bench, 1080 pairs/step): hwnc+down1+down2 5,019 pairs/s >
-# hwnc+down1 4,657 > hwnc-only 4,470 (same session, r3g sweep) >
-# pure-XLA v2 4,278 > identity(nhwc)+float inter-kernel IO 3,903.
+# identity blocks, the stride-2 projections (down2), and ALL of layer1
+# (projection + identity run) as ONE stage-fused call (hwncs1d; 'down1'
+# is subsumed). Measured (bench, 1080 pairs/step): hwncs1d 5,197 >
+# hwncs1 5,063 > hwnc+down1+down2 5,020 (r4 sessions, each 3x) >
+# hwnc-only 4,470 (r3g) > pure-XLA v2 4,278 > identity(nhwc)+float
+# inter-kernel IO 3,903.
 # The hwnc kernels run on the (H, W, N, C) view whose row-major layout
 # equals XLA's preferred conv layout {3,0,2,1}, so the XLA<->pallas
 # boundary transposes are bitcasts, not relayout copies — that tax is
-# what made the nhwc kernels lose to pure XLA. 'identity'/'down1' stay
-# available as explicit opt-ins; --no-pallas reproduces pure XLA.
-_PALLAS_DEFAULT_V2 = frozenset(('hwnc', 'down1', 'down2', 'hwncs1'))
+# what made the nhwc kernels lose to pure XLA. 'identity'/'down1'/
+# 'hwncs1' stay available as explicit opt-ins; --no-pallas reproduces
+# pure XLA.
+_PALLAS_DEFAULT_V2 = frozenset(('hwnc', 'down2', 'hwncs1d'))
 
 # hwnc identity kernels win at every depth (zero boundary tax), so the
 # default cap routes ALL stride-1 identity blocks through them.
@@ -514,7 +517,7 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     feats = shared(use_pallas, default=_PALLAS_DEFAULT_V2)
     if iden_cin_cap is not None:
         cap = iden_cin_cap
-    elif feats & {'hwnc', 'hwncs', 'hwncs1', 'hwncs1d'}:
+    elif feats & {'hwnc', 'hwncs', 'hwncs1', 'hwncs1d', 'hwncp'}:
         cap = _HWNC_CIN_CAP
     else:
         cap = _pb.IDEN_CIN_CAP
@@ -536,9 +539,10 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
         if 'down' in qb:
             # stride-1 projection (layer1[0]); 'hwncs1d' fuses it into
             # the layer1 stage kernel
-            return 'down1' in feats or 'hwncs1d' in feats
+            return ('down1' in feats or 'hwncs1d' in feats
+                    or 'hwncp' in feats)
         return bool(feats & {'identity', 'hwnc', 'hwncs', 'hwncs1',
-                             'hwncs1d'})
+                             'hwncs1d', 'hwncp'})
 
     ok = [_kernel_ok(*b) for b in blocks]
     # 'hwnc': run identity kernels on the (H, W, N, C) view — its
@@ -547,7 +551,8 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     # 'hwncs': additionally fuse each RUN of consecutive identity
     # blocks into ONE pallas call with the activation VMEM-resident
     # across blocks (no inter-block HBM round trips).
-    hwnc_on = bool(feats & {'hwnc', 'hwncs', 'hwncs1', 'hwncs1d'})
+    hwnc_on = bool(feats & {'hwnc', 'hwncs', 'hwncs1', 'hwncs1d',
+                            'hwncp'})
     # the hwnc kernels ride the batch on the sublane-adjacent dim, so
     # Mosaic needs it 8-aligned (an unaligned N fails layout inference
     # on real hardware — interpret mode can't catch it); pad with zero
@@ -598,13 +603,16 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
             if not is_t:
                 h8 = jnp.transpose(h8, (1, 2, 0, 3))
                 is_t = True
-            if 'hwncs1d' in feats:
+            if 'hwncs1d' in feats or 'hwncp' in feats:
                 # 'hwncs1d': ALL of layer1 — projection + identity run —
                 # as ONE stage kernel with the projection output staged
                 # in the 'act' scratch: the (64, 64, N, 256) s8 HBM
                 # round trip between down1 and the hwncs1 stage run
                 # (~2.8 ms at serving batch) disappears. s8 out forced
                 # like hwncs1 (bf16 out window > scoped-VMEM ceiling).
+                # 'hwncp': the same fusion on the parity-split view with
+                # LANE-PACKED identity 3x3s (full 128-lane MXU width at
+                # Cm=64 — the unpacked layer1 matmuls run at half).
                 j = k + 1
                 while (j < len(blocks) and ok[j]
                        and 'down' not in blocks[j][2]):
@@ -620,9 +628,15 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                              rqb['conv3']['w'][0, 0], rqb['conv3']['b']]
                 rs = jnp.stack([jnp.asarray(rqb['r'], jnp.float32)
                                 for rqb in run])
-                h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
-                    h8, *flat, rs, nblocks=len(run), down=True,
-                    bt_budget=bt_budget, out_int8=True, staging='act')
+                if 'hwncp' in feats:
+                    h8 = _pb.fused_bottleneck_i8v2_hwncp_stage(
+                        h8, *flat, rs, nblocks=len(run),
+                        bt_budget=bt_budget, out_int8=True)
+                else:
+                    h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
+                        h8, *flat, rs, nblocks=len(run), down=True,
+                        bt_budget=bt_budget, out_int8=True,
+                        staging='act')
                 k = j
                 continue
             if 'hwncs1' in feats:

@@ -1605,6 +1605,242 @@ def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
     )(x, *wbs, jnp.asarray(rs, jnp.float32).reshape(nblocks, 1))
 
 
+def _zero_border_split(ref):
+    """Zero only the 1-element padded border (rows 0/H+1, packed cols
+    0/W2+1, both parity planes) of an (H+2, W2+2, 2, B, C) parity-split
+    conv scratch."""
+    h2, w2 = ref.shape[0], ref.shape[1]
+    zr = jnp.zeros((1,) + ref.shape[1:], ref.dtype)
+    ref[0:1] = zr
+    ref[h2 - 1:h2] = zr
+    zc = jnp.zeros((h2, 1) + ref.shape[2:], ref.dtype)
+    ref[:, 0:1] = zc
+    ref[:, w2 - 1:w2] = zc
+
+
+def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
+    """Layer1 stage (stride-1 projection + identity run) on the PARITY-
+    SPLIT (H, W/2, 2, B, C) view — a pure reshape (bitcast) of the hwnc
+    layout, so entering/leaving costs nothing, but horizontally adjacent
+    pixel PAIRS become lane-concatenable: the identity blocks' 3x3 conv2
+    runs LANE-PACKED, two output pixels per matmul row with the 4-wide
+    union tap window (K = 12*Cm, N = 2*Cm) — full 128-lane MXU width at
+    Cm=64 where the unpacked conv2 (K=9*Cm, N=Cm) runs at half width,
+    for 1.33x the MACs: a 1.5x conv2 speedup. conv1 stays unpacked (its
+    rows (y, wp, s, b) store STRAIGHT into the split scratch) and conv3
+    runs block-diagonal ((2Cm, 2Cout), 2x MACs at 2x width = time
+    parity) so no sub-tile lane surgery exists anywhere — every access
+    is a contiguous slice or a unit index on an untiled dim (the
+    down_s2 parity-plane pattern).
+
+    refs: x_ref (H, W2, 2, B, Cin), projection (w1, b1, w2f (9Cm, Cm),
+    b2, w3d (Cm+Cin, Cout), b3d), then per identity block (w1, b1,
+    w2pk (12Cm, 2Cm), b2pk, w3pk (2Cm, 2Cout), b3pk), r_ref
+    (nblocks, 1) SMEM, out_ref, act_ref, h1p_ref (H+2, W2+2, 2, B, Cm).
+
+    Tap algebra (output pixel (wp, s) reads original columns
+    2wp+s-1 .. 2wp+s+1; padded packed-column index c' = wp'+1):
+      unpacked (projection):  s=0 -> (s'=1, c'=wp), (0, wp+1), (1, wp+1)
+                              s=1 -> (0, wp+1), (1, wp+1), (0, wp+2)
+      packed pair (du 0..3):  du=0 -> (1, wp); du=1 -> (0, wp+1);
+                              du=2 -> (1, wp+1); du=3 -> (0, wp+2)
+      with w2pk[dy, du, c, s*Cm+co] = w2[dy, du-s, c, co] (0 outside)."""
+    x_ref = refs[0]
+    r_ref = refs[7 + 6 * nblocks]
+    out_ref = refs[8 + 6 * nblocks]
+    act_ref = refs[9 + 6 * nblocks]
+    h1p_ref = refs[-1]
+    H, W2, _, B, Cin_d = x_ref.shape
+    rb = H // bands
+
+    def conv2_slices(y0, packed):
+        """Tap slices for one band: 12 (packed pairs) or 2x9 (unpacked,
+        stacked on the parity dim) -> (rows, K) cols matrix."""
+        Cm = h1p_ref.shape[-1]
+        if packed:
+            cols = []
+            for dy in range(3):
+                row = h1p_ref[y0 + dy:y0 + dy + rb]
+                for cs, s in ((0, 1), (1, 0), (1, 1), (2, 0)):
+                    cols.append(row[:, cs:cs + W2, s].reshape(
+                        rb * W2 * B, Cm))
+            return jnp.concatenate(cols, axis=1)       # (.., 12Cm)
+        a_s = []
+        for s in range(2):
+            cols = []
+            for dy in range(3):
+                row = h1p_ref[y0 + dy:y0 + dy + rb]
+                if s == 0:
+                    sl = (row[:, 0:W2, 1], row[:, 1:W2 + 1, 0],
+                          row[:, 1:W2 + 1, 1])
+                else:
+                    sl = (row[:, 1:W2 + 1, 0], row[:, 1:W2 + 1, 1],
+                          row[:, 2:W2 + 2, 0])
+                cols += [a.reshape(rb * W2 * B, Cm) for a in sl]
+            a_s.append(jnp.concatenate(cols, axis=1).reshape(
+                rb, W2, B, 9 * Cm))
+        return jnp.stack(a_s, axis=2).reshape(rb * W2 * 2 * B, 9 * Cm)
+
+    # ---- projection (layer1[0]): unpacked rows (y, wp, s, b) ----
+    (w1_ref, b1_ref, w2f_ref, b2_ref, w3d_ref, b3d_ref) = refs[1:7]
+    Cm = w1_ref.shape[1]
+    cdt = w1_ref.dtype
+    _zero_border_split(h1p_ref)
+    for t in range(bands):
+        y0 = t * rb
+        xb = x_ref[y0:y0 + rb].reshape(rb * W2 * 2 * B,
+                                       Cin_d).astype(cdt)
+        h1 = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+        h1p_ref[1 + y0:1 + y0 + rb, 1:W2 + 1] = h1.reshape(
+            rb, W2, 2, B, Cm)
+    for t in range(bands):
+        y0 = t * rb
+        acc = jnp.dot(conv2_slices(y0, packed=False), w2f_ref[:],
+                      preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
+        xb = x_ref[y0:y0 + rb].reshape(rb * W2 * 2 * B,
+                                       Cin_d).astype(cdt)
+        # conv3 + 1x1 projection as ONE K-packed matmul [h2 | x] @
+        # [[w3], [wd]] (full 128-lane K already — packing would double
+        # the MACs for nothing)
+        out = jnp.dot(jnp.concatenate([h2, xb], axis=1), w3d_ref[:],
+                      preferred_element_type=jnp.float32)
+        out = out + b3d_ref[:]
+        q = jnp.clip(jnp.round(out), 0.0, 127.0)
+        act_ref[y0:y0 + rb] = q.astype(act_ref.dtype).reshape(
+            rb, W2, 2, B, -1)
+
+    # ---- identity run: lane-packed conv2/conv3 ----
+    for k in range(nblocks):
+        (w1_ref, b1_ref, w2pk_ref, b2pk_ref, w3pk_ref,
+         b3pk_ref) = refs[7 + 6 * k:13 + 6 * k]
+        Cm = w1_ref.shape[1]
+        cdt = w1_ref.dtype
+        src = act_ref
+        dst = out_ref if k == nblocks - 1 else act_ref
+        Cact = src.shape[-1]
+
+        _zero_border_split(h1p_ref)
+        for t in range(bands):
+            y0 = t * rb
+            xb = src[y0:y0 + rb].reshape(rb * W2 * 2 * B,
+                                         Cact).astype(cdt)
+            h1 = jnp.dot(xb, w1_ref[:],
+                         preferred_element_type=jnp.float32)
+            h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
+            h1p_ref[1 + y0:1 + y0 + rb, 1:W2 + 1] = h1.reshape(
+                rb, W2, 2, B, Cm)
+
+        # packed conv2/conv3/residual/requant per band; the band's
+        # residual read happens before its write, so act -> act is safe
+        for t in range(bands):
+            y0 = t * rb
+            acc = jnp.dot(conv2_slices(y0, packed=True), w2pk_ref[:],
+                          preferred_element_type=jnp.float32)
+            h2p = jnp.maximum(acc + b2pk_ref[:], 0.0).astype(cdt)
+            outp = jnp.dot(h2p, w3pk_ref[:],
+                           preferred_element_type=jnp.float32)
+            xr = src[y0:y0 + rb]
+            xpair = jnp.concatenate([xr[:, :, 0], xr[:, :, 1]],
+                                    axis=-1).reshape(rb * W2 * B,
+                                                     2 * Cact)
+            outp = (outp + b3pk_ref[:]
+                    + xpair.astype(jnp.float32) * r_ref[k, 0])
+            q = jnp.clip(jnp.round(outp), 0.0, 127.0).astype(dst.dtype)
+            q = q.reshape(rb, W2, B, 2 * Cact)
+            dst[y0:y0 + rb, :, 0] = q[..., :Cact]
+            dst[y0:y0 + rb, :, 1] = q[..., Cact:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('nblocks', 'interpret', 'batch_tile',
+                                    'bt_budget', 'out_int8', 'bands'))
+def fused_bottleneck_i8v2_hwncp_stage(x, *flat_wb, nblocks,
+                                      interpret=False, batch_tile=None,
+                                      bt_budget=None, out_int8=True,
+                                      bands=None):
+    """Parity-split lane-PACKED layer1 stage ('hwncp'): same contract
+    and flat_wb layout as fused_bottleneck_i8v2_hwnc_stage(down=True,
+    staging='act') — (w1, b1, w2, b2, w3, b3, wd, bd) projection then
+    (w1, b1, w2, b2, w3, b3) per identity block then rs — but the
+    identity 3x3 convs run two horizontally adjacent output pixels per
+    matmul row (full MXU lane width at Cm=64; see the kernel
+    docstring). NOT bit-identical to the unpacked kernels: the packed
+    K=12Cm contraction reassociates the f32 accumulation (scatter-mode
+    closeness bar, not the bit-exact one)."""
+    assert len(flat_wb) == 8 + 6 * nblocks + 1, len(flat_wb)
+    assert nblocks >= 1
+    rs = flat_wb[-1]
+    w1d, b1d, w2d, b2d, w3d_, b3d_, wdd, bdd = flat_wb[:8]
+    Cm = w1d.shape[1]
+    cdt = w1d.dtype
+    wbs = [w1d, b1d.astype(jnp.float32), w2d.reshape(9 * Cm, Cm),
+           b2d.astype(jnp.float32),
+           jnp.concatenate([w3d_, wdd], axis=0),
+           (b3d_.astype(jnp.float32) + bdd.astype(jnp.float32))]
+    for k in range(nblocks):
+        w1, b1, w2, b2, w3, b3 = flat_wb[8 + 6 * k:14 + 6 * k]
+        assert w1.shape[1] == Cm, 'Cm mismatch'
+        # w2pk[dy, du, c, s*Cm+co] = w2[dy, du-s, c, co] (0 outside)
+        w2pk = jnp.stack(
+            [jnp.pad(w2, ((0, 0), (0, 1), (0, 0), (0, 0))),
+             jnp.pad(w2, ((0, 0), (1, 0), (0, 0), (0, 0)))],
+            axis=-2).reshape(12 * Cm, 2 * w2.shape[-1])
+        w3pk = jnp.kron(jnp.eye(2, dtype=w3.dtype), w3)
+        wbs += [w1, b1.astype(jnp.float32), w2pk,
+                jnp.tile(b2.astype(jnp.float32), 2), w3pk,
+                jnp.tile(b3.astype(jnp.float32), 2)]
+    H, W, N, Cin = x.shape
+    assert W % 2 == 0, W
+    W2 = W // 2
+    Cact = flat_wb[4].shape[1]
+    if batch_tile is None:
+        per_img = H * W * (Cin + Cact) * 2
+        budget = BT_BUDGET if bt_budget is None else bt_budget
+        batch_tile = min(32, max(8, (budget // max(per_img, 1)) // 8 * 8))
+        while batch_tile > 0 and N % batch_tile:
+            batch_tile -= 8
+        if batch_tile <= 0:
+            batch_tile = N
+    B = batch_tile
+    assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
+    if bands is None:
+        per_row = W * B * (9 * Cm * 2 + Cact * 8)
+        rb = max(1, (6 * 1024 * 1024) // max(per_row, 1))
+        while H % rb:
+            rb -= 1
+        bands = H // rb
+    assert H % bands == 0, (H, bands)
+
+    out = pl.pallas_call(
+        functools.partial(_bottleneck_i8v2_hwncp_stage_kernel,
+                          bands=bands, nblocks=nblocks),
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((H, W2, 2, B, Cin), lambda i: (0, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + 6 * nblocks) + [
+            pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W2, 2, B, Cact),
+                               lambda i: (0, 0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (H, W2, 2, N, Cact), jnp.int8 if out_int8 else cdt),
+        scratch_shapes=[
+            pltpu.VMEM((H, W2, 2, B, Cact), cdt),
+            pltpu.VMEM((H + 2, W2 + 2, 2, B, Cm), cdt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.reshape(H, W2, 2, N, Cin), *wbs,
+      jnp.asarray(rs, jnp.float32).reshape(nblocks, 1))
+    return out.reshape(H, W, N, Cact)
+
+
 def stem_reference(x, w, b):
     """XLA reference stem for parity tests."""
     from ..core import nn as cnn

@@ -46,6 +46,7 @@ CONFIGS = [
                                          'hwncs1', 'stem2')}),
     ('v2-qpool', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
                                          'hwncs1', 'qpool')}),
+    ('v2-hwncp', 'int8', {'use_pallas': ('hwnc', 'down2', 'hwncp')}),
     ('v2-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2', 'stem'),
                         'conv2_mode': 'scatter'}),
     ('int8c-default', 'int8c', {}),
