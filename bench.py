@@ -29,7 +29,11 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--pairs-per-step', type=int, default=1080)
+    # 1620 beat 1080 in 6/6 interleaved A/Bs across three kernel states
+    # (r4c: 5,101/5,094 vs 5,063; r4f: 5,429.9/5,425.1 vs 5,384.4 —
+    # PERFORMANCE.md r4f/r4h); deeper pair batching amortises the fixed
+    # prep/dispatch cost per step.
+    ap.add_argument('--pairs-per-step', type=int, default=1620)
     ap.add_argument('--input-size', type=int, default=256)
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--repeats', type=int, default=3,
