@@ -95,6 +95,13 @@ def main():
                          '(high = bf16_3x, ~f32-accurate under the '
                          'uint8 round; default = 1-pass bf16, a pure '
                          'serving knob — pixel rounds can deviate)')
+    ap.add_argument('--prep-rgb', default='einsum',
+                    choices=['einsum', 'pallas'],
+                    help='RGB crop+resize impl: einsum (two batched '
+                         'interp matmuls) or pallas (one fused kernel: '
+                         'VMEM-resident intermediate, windowed K; '
+                         '--prep-precision high/default map to its '
+                         '3/1-pass modes, --prep-stage1 is inherent)')
     ap.add_argument('--stem-chunks', type=int, default=None,
                     help='sequential chunks for the XLA stem (bounds the '
                          '(N,128,128,64) conv-output HBM liveness); '
@@ -147,6 +154,13 @@ def main():
                  'highest': jax.lax.Precision.HIGHEST}[args.prep_precision]
 
     def prep_all(images, masks, bboxes):
+        if args.prep_rgb == 'pallas':
+            from instaorder_tpu.ops.pairs import build_pair_batches_fused
+            rois = jax.vmap(lambda b: pair_rois(b, pair_idx_j))(bboxes)
+            return build_pair_batches_fused(
+                images, masks, pair_idx_j, rois, out_size=sz, dtype=dtype,
+                passes=1 if args.prep_precision == 'default' else 3)
+
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx_j)
             return build_pair_batch_matmul(im, m, pair_idx_j, rois,

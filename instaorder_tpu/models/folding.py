@@ -58,7 +58,8 @@ def fold_resnet(params, stats, cfg):
 # the stride-2 kernels cost more than their VMEM residency saves.
 _PALLAS_VOCAB = frozenset(('identity', 'stage', 'sstage', 'down', 'down1',
                            'down2', 'stem', 'stem2', 'qpool', 'hwnc',
-                           'hwncs', 'hwncs1', 'hwncs1d', 'hwncp'))
+                           'hwncs', 'hwncs1', 'hwncs1d', 'hwncp',
+                           'dirpack'))
 _PALLAS_DEFAULT = frozenset(('identity',))
 
 

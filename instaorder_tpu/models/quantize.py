@@ -504,14 +504,19 @@ _HWNC_CIN_CAP = 2048
 
 def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                     bt_budget=None, band_budget=None,
-                    conv2_mode='im2col', hwnc_io='float', pipeline=False):
+                    conv2_mode='im2col', hwnc_io='float', pipeline=False,
+                    h8_hwnc=False):
     """int8 stem output -> boundary-int8 trunk -> f32 head logits.
 
     hwnc_io: inter-pallas-kernel storage dtype — 'float' keeps the
     quantized integer values in the compute dtype between consecutive
     kernels (no packed-s8 sublane conversions; the measured round-3
     default), 's8' stores s8 everywhere (halves the inter-kernel HBM
-    traffic at the cost of per-element pack/unpack on the VPU)."""
+    traffic at the cost of per-element pack/unpack on the VPU).
+
+    h8_hwnc: the caller hands h8 already in the (H, W, N, C) view with
+    a sublane-aligned (N % 8 == 0) batch — see the 'dirpack' path in
+    apply_folded_v2_siamese."""
     from .folding import _pallas_features as shared
     from ..ops import pallas_blocks as _pb
     feats = shared(use_pallas, default=_PALLAS_DEFAULT_V2)
@@ -557,11 +562,16 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
     # Mosaic needs it 8-aligned (an unaligned N fails layout inference
     # on real hardware — interpret mode can't catch it); pad with zero
     # images and slice the pooled features back
-    n_in = h8.shape[0]
-    pad8 = (-n_in) % 8
-    if hwnc_on and pad8 and any(ok):
-        h8 = jnp.pad(h8, ((0, pad8),) + ((0, 0),) * (h8.ndim - 1))
-    is_t = False
+    if h8_hwnc:
+        n_in = h8.shape[2]
+        assert n_in % 8 == 0, 'h8_hwnc callers must sublane-align N'
+        is_t = True
+    else:
+        n_in = h8.shape[0]
+        pad8 = (-n_in) % 8
+        if hwnc_on and pad8 and any(ok):
+            h8 = jnp.pad(h8, ((0, pad8),) + ((0, 0),) * (h8.ndim - 1))
+        is_t = False
     k = 0
     while k < len(blocks):
         li, bi, qb = blocks[k]
@@ -779,12 +789,50 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
     hcat = _stem_v2(dict(q, conv1={'w': wcat, 'b': bcat}), x,
                     chunks=stem_chunks, use_pallas=use_pallas)
     c = hcat.shape[-1] // 2
+    n = x.shape[0]
+    from .folding import _pallas_features as _feats
+    feats = _feats(use_pallas, default=_PALLAS_DEFAULT_V2)
+    hwnc_on = bool(feats & {'hwnc', 'hwncs', 'hwncs1', 'hwncs1d',
+                            'hwncp'})
+    if 'dirpack' in feats and hwnc_on:
+        # Direction axis -> batch via BITCASTS. The pooled stem output
+        # [N, 64, 64, 2*Cs] lives in XLA's {3,0,2,1} conv layout, so
+        # the transpose to the (H, W, N, C) view the hwnc trunk wants
+        # is a layout bitcast, and the row-major reshape
+        # [H, W, N, 2*Cs] -> [H, W, 2N, Cs] then interleaves the two
+        # direction halves into the batch (item 2i = dir0 of pair i,
+        # 2i+1 = dir1) for free. This replaces the channel-split +
+        # batch-concat fusions of the default path — 3.5 ms/step of
+        # pure data movement at 540 pairs (trace_r4_hwncs1d.txt,
+        # fusion.217 + add_bitcast_fusion). Trunk math is batch-
+        # independent in N, so the reorder is bit-exact.
+        # The hwnc kernels need a sublane-aligned (2n % 8 == 0) batch;
+        # pad the PAIR axis to a multiple of 4 with zero images (one
+        # tiny pad fusion on the stem output; the bench's 1650-pair
+        # step would otherwise silently skip this path).
+        pad4 = (-n) % 4
+        hp = jnp.pad(hcat, ((0, pad4),) + ((0, 0),) * 3) if pad4 \
+            else hcat
+        ht = jnp.transpose(hp, (1, 2, 0, 3))
+        h8 = ht.reshape(ht.shape[0], ht.shape[1], 2 * (n + pad4), c)
+        out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
+                              iden_cin_cap=iden_cin_cap,
+                              bt_budget=bt_budget,
+                              band_budget=band_budget,
+                              conv2_mode=conv2_mode, hwnc_io=hwnc_io,
+                              pipeline=pipeline, h8_hwnc=True)
+        if isinstance(out, tuple):
+            outs = tuple(o.reshape(n + pad4, 2, *o.shape[1:])[:n]
+                         for o in out)
+            return (tuple(o[:, 0] for o in outs),
+                    tuple(o[:, 1] for o in outs))
+        o = out.reshape(n + pad4, 2, *out.shape[1:])[:n]
+        return o[:, 0], o[:, 1]
     h8 = jnp.concatenate([hcat[..., :c], hcat[..., c:]], axis=0)
     out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                           iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
                           band_budget=band_budget, conv2_mode=conv2_mode,
                           hwnc_io=hwnc_io, pipeline=pipeline)
-    n = x.shape[0]
     if isinstance(out, tuple):
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)
     return out[:n], out[n:]

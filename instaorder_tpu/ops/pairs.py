@@ -175,6 +175,32 @@ def _interp_matrix(roi_off, roi_size, out_size, src_size, method='cubic'):
             + high[:, None] * (c == chigh))
 
 
+def _mask_pair_batch(masks, pair_idx, rois, out_size):
+    """Masks as nearest one-hot matmuls -> (P, 2, out, out) bf16. A
+    one-hot bf16 matmul over {0,1} data is exact, so this runs at full
+    MXU speed with no parity loss.
+
+    int8 storage end-to-end on the mask path: every intermediate is
+    exactly {0, 1} (one-hot nearest resampling of binary masks), so s8
+    is bit-exact and HALVES the two big HBM tensors vs bf16 — the
+    (P, 2, H, W) gather output and the (P, 2, H, out) m1 intermediate
+    (~2 GB/step at serving batch). The s8<->bf16 converts fuse into
+    the producing/consuming matmuls; cast BEFORE the per-pair gather:
+    each instance is duplicated into ~N-1 pairs, so gathering f32 and
+    casting after moves 4x the bytes."""
+    H, W = masks.shape[1], masks.shape[2]
+    Wyn = jax.vmap(lambda r: _interp_matrix(r[1], r[3], out_size, H,
+                                            'nearest'))(rois)
+    Wxn = jax.vmap(lambda r: _interp_matrix(r[0], r[2], out_size, W,
+                                            'nearest'))(rois)
+    masks_sel = masks.astype(jnp.int8)[pair_idx.reshape(-1)].reshape(
+        pair_idx.shape[0], 2, H, W)
+    m1 = jnp.einsum('pjw,pmhw->pmhj', Wxn.astype(jnp.bfloat16),
+                    masks_sel.astype(jnp.bfloat16)).astype(jnp.int8)
+    return jnp.einsum('pih,pmhj->pmij', Wyn.astype(jnp.bfloat16),
+                      m1.astype(jnp.bfloat16))
+
+
 @functools.partial(jax.jit,
                    static_argnames=('out_size', 'normalize', 'rgb_method',
                                     'precision', 'dtype', 'stage1_dtype'))
@@ -212,31 +238,38 @@ def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
     if normalize:
         rgb_out = (rgb_out / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
-    # masks: nearest as one-hot matmuls. A one-hot bf16 matmul over {0,1}
-    # data is exact, so this runs at full MXU speed with no parity loss.
-    Wyn = jax.vmap(lambda r: _interp_matrix(r[1], r[3], out_size, H,
-                                            'nearest'))(rois)
-    Wxn = jax.vmap(lambda r: _interp_matrix(r[0], r[2], out_size, W,
-                                            'nearest'))(rois)
-    # int8 storage end-to-end on the mask path: every intermediate is
-    # exactly {0, 1} (one-hot nearest resampling of binary masks), so s8
-    # is bit-exact and HALVES the two big HBM tensors vs bf16 — the
-    # (P, 2, H, W) gather output and the (P, 2, H, out) m1 intermediate
-    # (~2 GB/step at serving batch). The s8<->bf16 converts fuse into
-    # the producing/consuming matmuls; cast BEFORE the per-pair gather:
-    # each instance is duplicated into ~N-1 pairs, so gathering f32 and
-    # casting after moves 4x the bytes.
-    masks_sel = masks.astype(jnp.int8)[pair_idx.reshape(-1)].reshape(
-        pair_idx.shape[0], 2, H, W)
-    m1 = jnp.einsum('pjw,pmhw->pmhj', Wxn.astype(jnp.bfloat16),
-                    masks_sel.astype(jnp.bfloat16)).astype(jnp.int8)
-    m_out = jnp.einsum('pih,pmhj->pmij', Wyn.astype(jnp.bfloat16),
-                       m1.astype(jnp.bfloat16))
+    m_out = _mask_pair_batch(masks, pair_idx, rois, out_size)
     out_dtype = rgb_out.dtype if dtype is None else dtype
     m_out = m_out.astype(out_dtype)
     rgb_out = rgb_out.astype(out_dtype)
     return jnp.concatenate([m_out[:, 0, :, :, None], m_out[:, 1, :, :, None],
                             rgb_out], axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('out_size', 'dtype', 'passes',
+                                    'interpret'))
+def build_pair_batches_fused(images, masks, pair_idx, rois, out_size=256,
+                             dtype=jnp.bfloat16, passes=3,
+                             interpret=False):
+    """Multi-scene pair prep with the RGB crop+resize as ONE pallas
+    kernel (ops/prep_pallas.fused_prep_rgb: in-kernel interp matrices,
+    VMEM-resident row-interp intermediate, windowed-K matmuls) + the
+    exact einsum mask path. images (S, H, W, 3), masks (S, N, H, W),
+    rois (S, P, 4) -> (S*P, out, out, 5) — same values as the vmapped
+    build_pair_batch_matmul default up to rare 1-LSB rounding ties
+    (tests/test_prep_pallas.py). passes: 3 = serving precision (HIGH),
+    1 = the --prep-precision 'default' bf16 knob."""
+    from .prep_pallas import fused_prep_rgb
+    S, P = rois.shape[0], rois.shape[1]
+    rgb = fused_prep_rgb(images, rois, out_size=out_size, out_dtype=dtype,
+                         passes=passes, interpret=interpret)
+    rgb = jnp.transpose(rgb, (0, 2, 3, 1))
+    m = jax.vmap(lambda mk, r: _mask_pair_batch(mk, pair_idx, r,
+                                                out_size))(masks, rois)
+    m = m.reshape(S * P, 2, out_size, out_size).astype(dtype)
+    return jnp.concatenate([m[:, 0, :, :, None], m[:, 1, :, :, None],
+                            rgb], axis=-1)
 
 
 @functools.partial(jax.jit,

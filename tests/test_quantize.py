@@ -440,6 +440,46 @@ def test_v2_hwnc_unaligned_batch_padding(v2_net):
     np.testing.assert_allclose(got_s, got, atol=1e-4)
 
 
+def test_v2_siamese_dirpack_bitexact(v2_net):
+    """'dirpack' rides the siamese direction axis into the trunk as an
+    interleaved batch (transpose + row-major reshape — bitcasts on
+    hardware) instead of the channel-split + batch-concat fusions. A
+    pure reorder of a batch-independent computation: both heads must
+    match the default siamese path BIT-for-bit, for every trunk route
+    (pallas-interpret kernels and XLA fallback)."""
+    folded, cfg, qv2, xs = v2_net
+    from instaorder_tpu.ops import pallas_blocks
+    x4 = jnp.asarray(np.concatenate([xs[0], xs[1]]))    # batch 4: 2n%8==0
+
+    names = ('fused_bottleneck_i8v2_hwnc', 'fused_bottleneck_i8v2_hwnc_stage',
+             'fused_bottleneck_down_s2_i8v2_hwnc')
+    origs = {n: getattr(pallas_blocks, n) for n in names}
+    for n in names:
+        setattr(pallas_blocks, n,
+                (lambda o: lambda *a, **kw: o(*a, **dict(kw,
+                                                         interpret=True)))(
+                    origs[n]))
+    try:
+        feats = ('hwnc', 'down2', 'hwncs1d')
+        want = Q.apply_folded_v2_siamese(qv2, cfg, x4, use_pallas=feats)
+        got = Q.apply_folded_v2_siamese(qv2, cfg, x4,
+                                        use_pallas=feats + ('dirpack',))
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        # unaligned batches (2n not a multiple of 8): dirpack pads the
+        # pair axis to a multiple of 4 with zero images and slices the
+        # heads back — still bit-exact (n=2 -> pad 2, n=3 -> pad 1)
+        for xn in (jnp.asarray(xs[0]), x4[:3]):
+            wn = Q.apply_folded_v2_siamese(qv2, cfg, xn, use_pallas=feats)
+            gn = Q.apply_folded_v2_siamese(qv2, cfg, xn,
+                                           use_pallas=feats + ('dirpack',))
+            for w, g in zip(wn, gn):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    finally:
+        for n in names:
+            setattr(pallas_blocks, n, origs[n])
+
+
 def test_calibration_scales_shape(small_net):
     folded, cfg, q, xs = small_net
     assert q['conv1']['w'].dtype == jnp.int8

@@ -1,0 +1,94 @@
+"""On-TPU agreement gate for the fused pallas RGB prep
+(ops/prep_pallas.fused_prep_rgb) vs the einsum prep path
+(ops/pairs.build_pair_batch_matmul) at serving shapes.
+
+Interpret-mode parity lives in tests/test_prep_pallas.py; this gate
+catches what interpret can't: Mosaic layout/compile failures on real
+hardware (the hwncp/int8c-hwnc failure class) and hardware-only
+numeric drift. Bar: masks bit-exact; RGB pixels differ on <1% of
+elements and by at most one bf16 grid step (the 1-uint8-LSB rounding
+tie documented in prep_pallas.py).
+
+Usage: python tools/prep_gate.py [--passes 3] [--out-size 256]
+Prints one JSON line; exit 0 iff ok.
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(REPO, '.jax_cache'))
+
+from instaorder_tpu.ops import pairs as P                    # noqa: E402
+from instaorder_tpu.ops.pairs import build_pair_batches_fused  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--passes', type=int, default=3)
+    ap.add_argument('--out-size', type=int, default=256)
+    ap.add_argument('--instances', type=int, default=12)
+    ap.add_argument('--scenes', type=int, default=2)
+    args = ap.parse_args()
+
+    print('devices:', jax.devices(), file=sys.stderr)
+    rng = np.random.RandomState(0)
+    S, H, W, N = args.scenes, 480, 640, args.instances
+    sz = args.out_size
+    images = rng.randint(0, 255, (S, H, W, 3)).astype(np.float32)
+    masks = np.zeros((S, N, H, W), np.float32)
+    bboxes = np.zeros((S, N, 4), np.float32)
+    for s in range(S):
+        for k in range(N):
+            y0, x0 = rng.randint(0, H - 100), rng.randint(0, W - 100)
+            hh, ww = rng.randint(30, 100, 2)
+            masks[s, k, y0:y0 + hh, x0:x0 + ww] = 1
+            bboxes[s, k] = [x0, y0, ww, hh]
+    pair_idx, _ = P.all_pair_indices(N)
+    pidx = jnp.asarray(pair_idx)
+    rois = jax.vmap(lambda b: P.pair_rois(b, pidx))(jnp.asarray(bboxes))
+
+    want = np.concatenate([
+        np.asarray(P.build_pair_batch_matmul(
+            jnp.asarray(images[s]), jnp.asarray(masks[s]), pidx, rois[s],
+            out_size=sz, dtype=jnp.bfloat16), np.float32)
+        for s in range(S)], axis=0)
+    try:
+        got = np.asarray(build_pair_batches_fused(
+            jnp.asarray(images), jnp.asarray(masks), pidx, rois,
+            out_size=sz, dtype=jnp.bfloat16,
+            passes=args.passes), np.float32)
+    except Exception as e:  # Mosaic compile failures land here
+        print(json.dumps({'config': f'prep-pallas-p{args.passes}',
+                          'error': repr(e)[:2000]}))
+        sys.exit(1)
+
+    masks_exact = bool((got[..., :2] == want[..., :2]).all())
+    d = np.abs(got[..., 2:] - want[..., 2:])
+    frac = float((d > 0).mean())
+    dmax = float(d.max())
+    # bf16 grid step for normalized pixels in (-2.2, 2.7) is <= 2^-5
+    ok = masks_exact and dmax <= 0.03125 + 1e-6 and \
+        (frac < 0.01 if args.passes >= 3 else frac < 1.0)
+    if args.passes == 1:
+        # 1-pass bf16 knob: looser value bar (a few uint8 LSB), same
+        # as tests/test_prep_pallas.py::test_prep_pallas_one_pass_knob
+        ok = masks_exact and dmax <= 4.0 / 255.0 / 0.224
+    print(json.dumps({'config': f'prep-pallas-p{args.passes}',
+                      'masks_bitexact': masks_exact,
+                      'rgb_frac_diff': round(frac, 6),
+                      'rgb_max_abs': round(dmax, 6), 'ok': ok}))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == '__main__':
+    main()

@@ -47,6 +47,10 @@ CONFIGS = [
     ('v2-qpool', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
                                          'hwncs1', 'qpool')}),
     ('v2-hwncp', 'int8', {'use_pallas': ('hwnc', 'down2', 'hwncp')}),
+    # siamese-only layout knob: direction axis -> interleaved batch via
+    # bitcasts; must be BIT-exact vs the same-kernels siamese run
+    ('v2-dirpack', 'int8-siam',
+     {'use_pallas': ('hwnc', 'down2', 'hwncs1d', 'dirpack')}),
     ('v2-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2', 'stem'),
                         'conv2_mode': 'scatter'}),
     ('int8c-default', 'int8c', {}),
@@ -114,11 +118,13 @@ def main():
     qp_v2 = Q.quantize_folded_v2(folded, cfg, scales)
     qp_c = Q.quantize_folded_resnet(folded, cfg, scales)
 
-    sel = None if args.configs is None else set(args.configs.split(','))
-
     def run(dtype, **kw):
         if dtype == 'int8':
             fn = functools.partial(Q.apply_folded_v2, qp_v2, cfg, **kw)
+        elif dtype == 'int8-siam':
+            base = functools.partial(Q.apply_folded_v2_siamese, qp_v2,
+                                     cfg, **kw)
+            fn = lambda x: jnp.stack(base(x=x))  # noqa: E731
         else:
             fn = functools.partial(Q.apply_folded_int8, qp_c, cfg,
                                    stem_chunks=kw.pop('stem_chunks', 4),
@@ -126,8 +132,17 @@ def main():
         out = jax.jit(lambda xx: fn(x=xx))(x)
         return np.asarray(jax.device_get(out), np.float32)
 
+    sel = None if args.configs is None else set(args.configs.split(','))
+
     oracle = {'int8': run('int8', use_pallas=False),
               'int8c': run('int8c', use_pallas=False)}
+    if sel is None or any(d == 'int8-siam' for n, d, _ in CONFIGS
+                          if n in sel):
+        # bitcast layout knobs must be BIT-exact vs the same-kernels
+        # siamese run (the XLA-vs-pallas oracle would hide a reorder
+        # bug behind the 1-LSB tie bar)
+        oracle['int8-siam'] = run(
+            'int8-siam', use_pallas=('hwnc', 'down2', 'hwncs1d'))
 
     failures = []
     for name, dtype, kw in CONFIGS:
@@ -147,7 +162,7 @@ def main():
         agree = float((dec_ref == dec_got).mean())
         bitexact = bool((got == ref).all())
         ok = agree == 1.0 and rel < 0.02
-        if dtype == 'int8c':
+        if dtype in ('int8c', 'int8-siam'):
             ok = ok and bitexact
         print(json.dumps({'config': name, 'max_abs': round(float(delta.max()), 6),
                           'rel': round(rel, 6), 'agree': agree,
