@@ -96,12 +96,15 @@ def main():
                          'uint8 round; default = 1-pass bf16, a pure '
                          'serving knob — pixel rounds can deviate)')
     ap.add_argument('--prep-rgb', default='einsum',
-                    choices=['einsum', 'pallas'],
+                    choices=['einsum', 'pallas', 'pallas5'],
                     help='RGB crop+resize impl: einsum (two batched '
-                         'interp matmuls) or pallas (one fused kernel: '
+                         'interp matmuls), pallas (one fused RGB kernel: '
                          'VMEM-resident intermediate, windowed K; '
                          '--prep-precision high/default map to its '
-                         '3/1-pass modes, --prep-stage1 is inherent)')
+                         '3/1-pass modes, --prep-stage1 is inherent), or '
+                         'pallas5 (all 5 channels in-kernel — the mask '
+                         'nearest resize too, skipping its per-pair '
+                         'gather/m1 HBM round trips)')
     ap.add_argument('--stem-chunks', type=int, default=None,
                     help='sequential chunks for the XLA stem (bounds the '
                          '(N,128,128,64) conv-output HBM liveness); '
@@ -154,12 +157,13 @@ def main():
                  'highest': jax.lax.Precision.HIGHEST}[args.prep_precision]
 
     def prep_all(images, masks, bboxes):
-        if args.prep_rgb == 'pallas':
+        if args.prep_rgb in ('pallas', 'pallas5'):
             from instaorder_tpu.ops.pairs import build_pair_batches_fused
             rois = jax.vmap(lambda b: pair_rois(b, pair_idx_j))(bboxes)
             return build_pair_batches_fused(
                 images, masks, pair_idx_j, rois, out_size=sz, dtype=dtype,
-                passes=1 if args.prep_precision == 'default' else 3)
+                passes=1 if args.prep_precision == 'default' else 3,
+                fuse_masks=args.prep_rgb == 'pallas5')
 
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx_j)

@@ -248,20 +248,30 @@ def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
 
 @functools.partial(jax.jit,
                    static_argnames=('out_size', 'dtype', 'passes',
-                                    'interpret'))
+                                    'fuse_masks', 'interpret'))
 def build_pair_batches_fused(images, masks, pair_idx, rois, out_size=256,
                              dtype=jnp.bfloat16, passes=3,
-                             interpret=False):
+                             fuse_masks=False, interpret=False):
     """Multi-scene pair prep with the RGB crop+resize as ONE pallas
     kernel (ops/prep_pallas.fused_prep_rgb: in-kernel interp matrices,
     VMEM-resident row-interp intermediate, windowed-K matmuls) + the
-    exact einsum mask path. images (S, H, W, 3), masks (S, N, H, W),
-    rois (S, P, 4) -> (S*P, out, out, 5) — same values as the vmapped
-    build_pair_batch_matmul default up to rare 1-LSB rounding ties
+    exact einsum mask path — or, with fuse_masks, ALL 5 channels in
+    one kernel (prep_pallas.fused_prep_pairs: the mask nearest resize
+    runs in-kernel as windowed one-hot matmuls, skipping the per-pair
+    (P, 2, H, W) gather + m1 HBM round trips). images (S, H, W, 3),
+    masks (S, N, H, W), rois (S, P, 4) -> (S*P, out, out, 5) — same
+    values as the vmapped build_pair_batch_matmul default: masks
+    exact, RGB up to rare 1-LSB rounding ties
     (tests/test_prep_pallas.py). passes: 3 = serving precision (HIGH),
     1 = the --prep-precision 'default' bf16 knob."""
-    from .prep_pallas import fused_prep_rgb
     S, P = rois.shape[0], rois.shape[1]
+    if fuse_masks:
+        from .prep_pallas import fused_prep_pairs
+        out5 = fused_prep_pairs(images, masks, pair_idx, rois,
+                                out_size=out_size, out_dtype=dtype,
+                                passes=passes, interpret=interpret)
+        return jnp.transpose(out5, (0, 2, 3, 1))
+    from .prep_pallas import fused_prep_rgb
     rgb = fused_prep_rgb(images, rois, out_size=out_size, out_dtype=dtype,
                          passes=passes, interpret=interpret)
     rgb = jnp.transpose(rgb, (0, 2, 3, 1))

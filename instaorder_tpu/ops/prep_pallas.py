@@ -75,6 +75,36 @@ def _half_window(o0, out_size, off, size, src_size, kwin):
     return (k0.astype(jnp.int32) // 8) * 8
 
 
+def _half_window_nearest(o0, out_size, off, size, src_size, kwin):
+    """Window start for the NEAREST taps of outputs [o0, o0+half):
+    idx(j) = clip(floor(j*size/out), 0, size-1) + off (pairs.
+    _nearest_taps), whose minimum over the half is floor(o0*size/out)
+    + off — up to 2 BELOW the cubic start formula, so the mask path
+    gets its own. Same kwin bound: align-down costs <= 7 and
+    (half-1)*size/out + 8 < kwin by _window_k's +15 slack."""
+    k0 = jnp.floor(float(o0) * size / out_size) + off
+    k0 = jnp.clip(k0, 0.0, float(src_size - kwin))
+    return (k0.astype(jnp.int32) // 8) * 8
+
+
+def _half_matrix_nearest(o0, nout, k0, kwin, off, size, out_size,
+                         src_size):
+    """(nout, kwin) ONE-HOT nearest matrix for outputs [o0, o0+nout)
+    over source columns [k0, k0+kwin) — pairs._interp_matrix 'nearest'
+    restricted to the window (same float expressions: entries are the
+    dense matrix's, so a bf16 matmul over {0,1} masks is exact)."""
+    j = _fiota((nout, kwin), 0) + float(o0)
+    t = jnp.clip(jnp.floor(j * size / out_size), 0.0, size - 1.0)
+    src = t + off                                     # source coords
+    valid = (src >= 0.0) & (src <= src_size - 1.0)
+    # pairs._nearest_taps int32-casts AFTER the clip: a fractional
+    # roi_size makes the size-1 clamp non-integer (e.g. 32.7) and the
+    # cast truncates — floor matches (src >= 0 post-clip)
+    src = jnp.floor(jnp.clip(src, 0.0, src_size - 1.0))
+    kk = _fiota((nout, kwin), 1) + k0.astype(jnp.float32)
+    return ((kk == src) & valid).astype(jnp.float32)
+
+
 def _half_matrix(o0, nout, k0, kwin, off, size, out_size):
     """(nout, kwin) cubic interp matrix for outputs [o0, o0+nout) over
     source columns [k0, k0+kwin) — the pairs._interp_matrix direct-grid
@@ -206,3 +236,124 @@ def fused_prep_rgb(images, rois, out_size=256, normalize=True,
                                        out_dtype),
         interpret=interpret,
     )(roi_flat, img_t)
+
+
+def _prep5_kernel(roi_ref, pidx_ref, x_ref, m_ref, out_ref, s1_ref,
+                  s1m_ref, *, P, out_size, kw, kh, W, H, normalize,
+                  passes):
+    """All 5 pair channels in one kernel: out channels (mask_i, mask_j,
+    r, g, b). RGB identical to _prep_rgb_kernel; masks are windowed
+    one-hot nearest matmuls (exact over {0, 1}), reading the pair's two
+    instance masks by a dynamic index on the untiled N axis."""
+    s = pl.program_id(0)
+    p = pl.program_id(1)
+    i = s * P + p
+    ox = roi_ref[i, 0]
+    oy = roi_ref[i, 1]
+    szx = roi_ref[i, 2]
+    szy = roi_ref[i, 3]
+    half = out_size // 2
+
+    # ---- masks: stage 1 (x axis), one-hot nearest, 1-pass bf16 ----
+    dn1 = (((0,), (1,)), ((), ()))
+    for m in range(2):
+        mi = pidx_ref[p, m]
+        for jo in range(2):
+            o0 = jo * half
+            k0 = _half_window_nearest(o0, out_size, ox, szx, W, kw)
+            wxn = _half_matrix_nearest(o0, half, k0, kw, ox, szx,
+                                       out_size, W)
+            a = m_ref[0, mi, pl.ds(k0, kw), :].astype(jnp.bfloat16)
+            s1m_ref[m, :, o0:o0 + half] = jax.lax.dot_general(
+                a, wxn.astype(jnp.bfloat16), dimension_numbers=dn1,
+                preferred_element_type=jnp.float32).astype(s1m_ref.dtype)
+
+    # ---- RGB stage 1 (same as _prep_rgb_kernel) ----
+    for jo in range(2):
+        o0 = jo * half
+        k0 = _half_window(o0, out_size, ox, szx, W, kw)
+        wx = _half_matrix(o0, half, k0, kw, ox, szx, out_size)
+        for c in range(3):
+            a = x_ref[0, c, pl.ds(k0, kw), :].astype(jnp.float32)
+            s1_ref[c, :, o0:o0 + half] = _dot3(a, wx, dn1, passes)
+
+    # ---- stage 2 (y axis) ----
+    dn2 = (((1,), (0,)), ((), ()))
+    for io in range(2):
+        o0 = io * half
+        k0n = _half_window_nearest(o0, out_size, oy, szy, H, kh)
+        wyn = _half_matrix_nearest(o0, half, k0n, kh, oy, szy,
+                                   out_size, H).astype(jnp.bfloat16)
+        for m in range(2):
+            s1w = s1m_ref[m, pl.ds(k0n, kh), :].astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                wyn, s1w, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32)
+            out_ref[0, m, o0:o0 + half, :] = acc.astype(out_ref.dtype)
+        k0 = _half_window(o0, out_size, oy, szy, H, kh)
+        wy = _half_matrix(o0, half, k0, kh, oy, szy, out_size)
+        for c in range(3):
+            s1w = s1_ref[c, pl.ds(k0, kh), :]
+            acc = _dot3(wy, s1w, dn2, passes)
+            val = jnp.clip(jnp.round(acc), 0.0, 255.0)
+            if normalize:
+                val = (val / 255.0 - _MEAN[c]) / _STD[c]
+            out_ref[0, 2 + c, o0:o0 + half, :] = val.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('out_size', 'normalize', 'out_dtype',
+                                    'passes', 'interpret'))
+def fused_prep_pairs(images, masks, pair_idx, rois, out_size=256,
+                     normalize=True, out_dtype=jnp.bfloat16, passes=3,
+                     interpret=False):
+    """Full 5-channel pair prep as ONE pallas kernel. images
+    (S, H, W, 3) f32 raw; masks (S, N, H, W) {0,1}; pair_idx (P, 2)
+    int32; rois (S, P, 4) float xywh. Returns (S*P, 5, out, out)
+    out_dtype, channel-major (mask_i, mask_j, r, g, b) — transpose to
+    NHWC at the caller.
+
+    vs fused_prep_rgb + the einsum mask path this also keeps the mask
+    resampling in VMEM: the einsum path's per-pair gather writes a
+    (P, 2, H, W) s8 tensor (~1 GB/step at serving batch) plus a
+    (P, 2, H, out) m1 intermediate through HBM; here each scene's N
+    masks enter VMEM once (s8, (1, N, W, H) block) and the pair's two
+    rows are read by dynamic index. Same roi-size precondition as
+    fused_prep_rgb; nearest windows use their own start formula
+    (_half_window_nearest)."""
+    S, H, W, _ = images.shape
+    P = rois.shape[1]
+    half = out_size // 2
+    sz_max = max(float(np.sqrt(2.0 * H * W)), 1.1 * max(H, W))
+    kw = _window_k(half, out_size, W, sz_max)
+    kh = _window_k(half, out_size, H, sz_max)
+
+    img_t = jnp.transpose(images.astype(jnp.float32), (0, 3, 2, 1))
+    msk_t = jnp.transpose(masks.astype(jnp.int8), (0, 1, 3, 2))
+    N = msk_t.shape[1]
+    roi_flat = rois.reshape(S * P, 4).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _prep5_kernel, P=P, out_size=out_size, kw=kw, kh=kh, W=W, H=H,
+        normalize=normalize, passes=passes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S, P),
+        in_specs=[
+            pl.BlockSpec((1, 3, W, H), lambda s, p, *_: (s, 0, 0, 0)),
+            pl.BlockSpec((1, N, W, H), lambda s, p, *_: (s, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 5, out_size, out_size),
+                               lambda s, p, *_: (s * P + p, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((3, H, out_size), jnp.float32),
+                        pltpu.VMEM((2, H, out_size), jnp.bfloat16)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S * P, 5, out_size, out_size),
+                                       out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(roi_flat, jnp.asarray(pair_idx, jnp.int32), img_t, msk_t)

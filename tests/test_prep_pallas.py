@@ -112,6 +112,78 @@ def test_prep_pallas_normalized_bf16_matches_einsum():
     assert np.abs(got - high).max() <= 0.03125 + 1e-6
 
 
+def _scene_fixture(seed, S=2, H=96, W=128, N=4):
+    rng = np.random.RandomState(seed)
+    images = rng.randint(0, 255, (S, H, W, 3)).astype(np.float32)
+    masks = np.zeros((S, N, H, W), np.float32)
+    bboxes = np.zeros((S, N, 4), np.float32)
+    for s in range(S):
+        for k in range(N):
+            y0, x0 = rng.randint(0, H - 20), rng.randint(0, W - 20)
+            hh, ww = rng.randint(5, 60, 2)
+            masks[s, k, y0:y0 + hh, x0:x0 + ww] = 1
+            bboxes[s, k] = [x0, y0, ww, hh]
+    pidx, _ = P.all_pair_indices(N)
+    rois = jax.vmap(lambda b: P.pair_rois(b, jnp.asarray(pidx)))(
+        jnp.asarray(bboxes))
+    return images, masks, pidx, rois
+
+
+def test_prep_pallas5_matches_einsum_path():
+    """fused_prep_pairs (all 5 channels in-kernel) vs the per-scene
+    einsum path: MASKS exact (one-hot nearest over {0,1} is exact in
+    bf16), RGB at the tie bar."""
+    images, masks, pidx, rois = _scene_fixture(4)
+    S = images.shape[0]
+    want = np.concatenate([
+        np.asarray(P.build_pair_batch_matmul(
+            jnp.asarray(images[s]), jnp.asarray(masks[s]),
+            jnp.asarray(pidx), rois[s], out_size=64,
+            dtype=jnp.bfloat16), np.float32)
+        for s in range(S)], axis=0)
+    got = np.asarray(P.build_pair_batches_fused(
+        jnp.asarray(images), jnp.asarray(masks), jnp.asarray(pidx),
+        rois, out_size=64, fuse_masks=True, interpret=True), np.float32)
+    np.testing.assert_array_equal(got[..., :2], want[..., :2])
+    d = np.abs(got[..., 2:] - want[..., 2:])
+    assert d.max() <= 0.03125 + 1e-6, d.max()
+    assert (d > 0).mean() < 0.01
+
+
+def test_prep_pallas5_adversarial_rois():
+    """Nearest windows (_half_window_nearest) must cover the worst-case
+    geometry too: hand-built rois at the pair_rois size bound, hanging
+    off every edge, tiny/fractional sizes — masks must stay EXACT."""
+    rng = np.random.RandomState(5)
+    H, W, N = 96, 128, 2
+    images = rng.randint(0, 255, (1, H, W, 3)).astype(np.float32)
+    masks = rng.randint(0, 2, (1, N, H, W)).astype(np.float32)
+    szmax = float(np.trunc(max(np.sqrt(2.0 * H * W), 1.1 * max(H, W))))
+    rois = np.array([[
+        [0, 0, szmax, szmax],
+        [-60, -40, szmax, szmax],
+        [W - 10, H - 10, szmax, szmax],
+        [-130, 10, 120, 120],
+        [30, 20, 2, 2],
+        [10, 5, 1, 1],
+        [5, 7, 33.7, 33.7],
+        [0, 0, W, H],
+    ]], np.float32)
+    rois[..., :2] = np.trunc(rois[..., :2])
+    pidx = np.tile(np.array([[0, 1]], np.int32), (rois.shape[1], 1))
+    want = np.asarray(P.build_pair_batch_matmul(
+        jnp.asarray(images[0]), jnp.asarray(masks[0]), jnp.asarray(pidx),
+        jnp.asarray(rois[0]), out_size=64, dtype=jnp.bfloat16),
+        np.float32)
+    got = np.asarray(P.build_pair_batches_fused(
+        jnp.asarray(images), jnp.asarray(masks), jnp.asarray(pidx),
+        jnp.asarray(rois), out_size=64, fuse_masks=True,
+        interpret=True), np.float32)
+    np.testing.assert_array_equal(got[..., :2], want[..., :2])
+    d = np.abs(got[..., 2:] - want[..., 2:])
+    assert d.max() <= 0.03125 + 1e-6, d.max()
+
+
 def test_prep_pallas_one_pass_knob():
     """passes=1 (the --prep-precision 'default' serving knob) stays
     within a few uint8 LSB of the exact pixels."""

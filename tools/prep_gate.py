@@ -38,6 +38,9 @@ def main():
     ap.add_argument('--out-size', type=int, default=256)
     ap.add_argument('--instances', type=int, default=12)
     ap.add_argument('--scenes', type=int, default=2)
+    ap.add_argument('--fuse-masks', action='store_true',
+                    help='gate the 5-channel fused_prep_pairs kernel '
+                         '(in-kernel one-hot nearest mask path)')
     args = ap.parse_args()
 
     print('devices:', jax.devices(), file=sys.stderr)
@@ -62,14 +65,14 @@ def main():
             jnp.asarray(images[s]), jnp.asarray(masks[s]), pidx, rois[s],
             out_size=sz, dtype=jnp.bfloat16), np.float32)
         for s in range(S)], axis=0)
+    tag = f'prep-pallas{"5" if args.fuse_masks else ""}-p{args.passes}'
     try:
         got = np.asarray(build_pair_batches_fused(
             jnp.asarray(images), jnp.asarray(masks), pidx, rois,
-            out_size=sz, dtype=jnp.bfloat16,
-            passes=args.passes), np.float32)
+            out_size=sz, dtype=jnp.bfloat16, passes=args.passes,
+            fuse_masks=args.fuse_masks), np.float32)
     except Exception as e:  # Mosaic compile failures land here
-        print(json.dumps({'config': f'prep-pallas-p{args.passes}',
-                          'error': repr(e)[:2000]}))
+        print(json.dumps({'config': tag, 'error': repr(e)[:2000]}))
         sys.exit(1)
 
     masks_exact = bool((got[..., :2] == want[..., :2]).all())
@@ -83,7 +86,7 @@ def main():
         # 1-pass bf16 knob: looser value bar (a few uint8 LSB), same
         # as tests/test_prep_pallas.py::test_prep_pallas_one_pass_knob
         ok = masks_exact and dmax <= 4.0 / 255.0 / 0.224
-    print(json.dumps({'config': f'prep-pallas-p{args.passes}',
+    print(json.dumps({'config': tag,
                       'masks_bitexact': masks_exact,
                       'rgb_frac_diff': round(frac, 6),
                       'rgb_max_abs': round(dmax, 6), 'ok': ok}))
