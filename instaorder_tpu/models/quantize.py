@@ -483,19 +483,22 @@ def _stem_v2(q, x, chunks=1, use_pallas=False):
 
 
 # v2 default: layout-native hwnc kernels over the WHOLE trunk —
-# identity blocks, the stride-2 projections (down2), and ALL of layer1
+# identity blocks, the stride-2 projections (down2), ALL of layer1
 # (projection + identity run) as ONE stage-fused call (hwncs1d; 'down1'
-# is subsumed). Measured (bench, 1080 pairs/step): hwncs1d 5,197 >
-# hwncs1 5,063 > hwnc+down1+down2 5,020 (r4 sessions, each 3x) >
-# hwnc-only 4,470 (r3g) > pure-XLA v2 4,278 > identity(nhwc)+float
-# inter-kernel IO 3,903.
+# is subsumed), and the siamese direction axis riding into the trunk
+# as an interleaved batch via bitcasts (dirpack; siamese-only, no-op
+# for single-direction apply). Measured (bench, 1620 pairs/step unless
+# noted): +dirpack 5,530 (r4l, 2x, bit-exact hardware gate) > hwncs1d
+# 5,384-5,425 > hwncs1 5,063 > hwnc+down1+down2 5,020 (1080/step, r4
+# sessions, each 3x) > hwnc-only 4,470 (r3g) > pure-XLA v2 4,278 >
+# identity(nhwc)+float inter-kernel IO 3,903.
 # The hwnc kernels run on the (H, W, N, C) view whose row-major layout
 # equals XLA's preferred conv layout {3,0,2,1}, so the XLA<->pallas
 # boundary transposes are bitcasts, not relayout copies — that tax is
 # what made the nhwc kernels lose to pure XLA. 'identity'/'down1'/
 # 'hwncs1' stay available as explicit opt-ins; --no-pallas reproduces
 # pure XLA.
-_PALLAS_DEFAULT_V2 = frozenset(('hwnc', 'down2', 'hwncs1d'))
+_PALLAS_DEFAULT_V2 = frozenset(('hwnc', 'down2', 'hwncs1d', 'dirpack'))
 
 # hwnc identity kernels win at every depth (zero boundary tax), so the
 # default cap routes ALL stride-1 identity blocks through them.
