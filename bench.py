@@ -27,8 +27,23 @@ import time
 import numpy as np
 
 
+PROFILES = {
+    # the three numbers that matter, one flag each (README "Bench
+    # profiles"). Explicit --dtype/--directions still win.
+    'parity': {'dtype': 'bf16', 'directions': 2},
+    'serving-d2': {'dtype': 'int8', 'directions': 2},
+    'serving-d1': {'dtype': 'int8', 'directions': 1},
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument('--profile', default=None, choices=sorted(PROFILES),
+                    help='preset: parity (bf16 swap-ensemble, the '
+                         'reference-behavior config), serving-d2 (int8 '
+                         'storage serving default), serving-d1 (single-'
+                         'direction serving knob). Sets --dtype/'
+                         '--directions unless given explicitly.')
     # 1620 beat 1080 in 6/6 interleaved A/Bs across three kernel states
     # (r4c: 5,101/5,094 vs 5,063; r4f: 5,429.9/5,425.1 vs 5,384.4 —
     # PERFORMANCE.md r4f/r4h); deeper pair batching amortises the fixed
@@ -39,7 +54,7 @@ def main():
     ap.add_argument('--repeats', type=int, default=3,
                     help='measurement windows; best is reported')
     ap.add_argument('--warmup', type=int, default=3)
-    ap.add_argument('--dtype', default='int8',
+    ap.add_argument('--dtype', default=None,
                     choices=['bf16', 'f32', 'int8', 'int8c'],
                     help='int8 (default) = the measured-best serving '
                          'config: boundary-int8 storage with bf16 '
@@ -56,7 +71,7 @@ def main():
     ap.add_argument('--pallas-features', default=None,
                     help='comma list from {identity,down,stem} '
                          '(default: the measured-best mix)')
-    ap.add_argument('--directions', type=int, default=2, choices=[1, 2],
+    ap.add_argument('--directions', type=int, default=None, choices=[1, 2],
                     help='2 = reference-parity swap ensemble; 1 = '
                          'single forward per pair (serving speed knob)')
     ap.add_argument('--iden-cin-cap', type=int, default=None,
@@ -110,6 +125,11 @@ def main():
                          '(N,128,128,64) conv-output HBM liveness); '
                          'default 1 for bf16/f32, 4 for int8')
     args = ap.parse_args()
+    preset = PROFILES.get(args.profile, {})
+    if args.dtype is None:
+        args.dtype = preset.get('dtype', 'int8')
+    if args.directions is None:
+        args.directions = preset.get('directions', 2)
 
     import jax
     jax.config.update('jax_compilation_cache_dir',

@@ -63,14 +63,17 @@ def step_lr_jnp(base_lr, milestones, lr_mults, warmup_lr=(), warmup_steps=()):
     # post-warmup: a step function over milestone regions
     region_probes = [warmup_end] + milestones
     region_vals = np.asarray([host(p) for p in region_probes], np.float32)
-    ms = np.asarray(milestones, np.int64) if milestones else np.zeros(
-        (0,), np.int64)
+    # int32 on purpose: the recipes top out at 86k iters and the no-x64
+    # default would silently truncate an int64 anyway (with a warning
+    # that drowns real ones in pytest)
+    ms = np.asarray(milestones, np.int32) if milestones else np.zeros(
+        (0,), np.int32)
     # warmup: piecewise-linear through anchors (0, host(0)) .. (ws_i, ...)
     wx = np.asarray([0] + ws, np.float32)
     wy = np.asarray([host(0)] + [host(s) for s in ws], np.float32)
 
     def sched(step):
-        step_i = jnp.asarray(step, jnp.int64)
+        step_i = jnp.asarray(step, jnp.int32)
         idx = jnp.searchsorted(jnp.asarray(ms), step_i, side='right')
         val = jnp.asarray(region_vals)[idx]
         if ws:

@@ -631,27 +631,34 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                        and 'down' not in blocks[j][2]):
                     j += 1
                 run = [blocks[i][2] for i in range(k + 1, j)]
-                flat = [qb['conv1']['w'][0, 0], qb['conv1']['b'],
-                        qb['conv2']['w'], qb['conv2']['b'],
-                        qb['conv3']['w'][0, 0], qb['conv3']['b'],
-                        qb['down']['w'][0, 0], qb['down']['b']]
-                for rqb in run:
-                    flat += [rqb['conv1']['w'][0, 0], rqb['conv1']['b'],
-                             rqb['conv2']['w'], rqb['conv2']['b'],
-                             rqb['conv3']['w'][0, 0], rqb['conv3']['b']]
-                rs = jnp.stack([jnp.asarray(rqb['r'], jnp.float32)
-                                for rqb in run])
-                if 'hwncp' in feats:
-                    h8 = _pb.fused_bottleneck_i8v2_hwncp_stage(
-                        h8, *flat, rs, nblocks=len(run),
-                        bt_budget=bt_budget, out_int8=True)
-                else:
-                    h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
-                        h8, *flat, rs, nblocks=len(run), down=True,
-                        bt_budget=bt_budget, out_int8=True,
-                        staging='act')
-                k = j
-                continue
+                if run:
+                    flat = [qb['conv1']['w'][0, 0], qb['conv1']['b'],
+                            qb['conv2']['w'], qb['conv2']['b'],
+                            qb['conv3']['w'][0, 0], qb['conv3']['b'],
+                            qb['down']['w'][0, 0], qb['down']['b']]
+                    for rqb in run:
+                        flat += [rqb['conv1']['w'][0, 0],
+                                 rqb['conv1']['b'],
+                                 rqb['conv2']['w'], rqb['conv2']['b'],
+                                 rqb['conv3']['w'][0, 0],
+                                 rqb['conv3']['b']]
+                    rs = jnp.stack([jnp.asarray(rqb['r'], jnp.float32)
+                                    for rqb in run])
+                    if 'hwncp' in feats:
+                        h8 = _pb.fused_bottleneck_i8v2_hwncp_stage(
+                            h8, *flat, rs, nblocks=len(run),
+                            bt_budget=bt_budget, out_int8=True)
+                    else:
+                        h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
+                            h8, *flat, rs, nblocks=len(run), down=True,
+                            bt_budget=bt_budget, out_int8=True,
+                            staging='act')
+                    k = j
+                    continue
+                # no fusable identity blocks after the projection (a
+                # 1-block stage, or iden_cin_cap admits Cin=64 but
+                # rejects the Cin=256 identities): fall through to the
+                # per-block down kernel instead of a 0-block stage call
             if 'hwncs1' in feats:
                 # the layer1 stage run that follows needs an s8 input
                 # window to fit 'act' staging in scoped VMEM (see the

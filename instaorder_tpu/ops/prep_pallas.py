@@ -207,8 +207,16 @@ def fused_prep_rgb(images, rois, out_size=256, normalize=True,
 
     Precondition: roi sizes <= max(sqrt(2*H*W), 1.1*max(H, W)) — the
     pair_rois bound for in-image bboxes; the static windows are sized
-    for it (test-enforced incl. the worst-case geometry)."""
+    for it (test-enforced incl. the worst-case geometry). H and W must
+    be multiples of 8: the 8-aligned window starts assume
+    src_size - kwin >= 0 with kwin itself 8-rounded — a 427-wide COCO
+    image would clamp to a negative start and read out of bounds. Pad
+    the source (callers bucket to 8-multiples) before using this path."""
     S, H, W, _ = images.shape
+    if H % 8 or W % 8:
+        raise ValueError(
+            f'fused_prep_rgb needs 8-multiple image dims, got {H}x{W}; '
+            f'pad the source or use the einsum path')
     P = rois.shape[1]
     half = out_size // 2
     sz_max = max(float(np.sqrt(2.0 * H * W)), 1.1 * max(H, W))
@@ -318,10 +326,14 @@ def fused_prep_pairs(images, masks, pair_idx, rois, out_size=256,
     (P, 2, H, W) s8 tensor (~1 GB/step at serving batch) plus a
     (P, 2, H, out) m1 intermediate through HBM; here each scene's N
     masks enter VMEM once (s8, (1, N, W, H) block) and the pair's two
-    rows are read by dynamic index. Same roi-size precondition as
-    fused_prep_rgb; nearest windows use their own start formula
-    (_half_window_nearest)."""
+    rows are read by dynamic index. Same roi-size and 8-multiple-dims
+    preconditions as fused_prep_rgb; nearest windows use their own
+    start formula (_half_window_nearest)."""
     S, H, W, _ = images.shape
+    if H % 8 or W % 8:
+        raise ValueError(
+            f'fused_prep_pairs needs 8-multiple image dims, got {H}x{W}; '
+            f'pad the source or use the einsum path')
     P = rois.shape[1]
     half = out_size // 2
     sz_max = max(float(np.sqrt(2.0 * H * W)), 1.1 * max(H, W))

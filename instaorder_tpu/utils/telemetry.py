@@ -7,9 +7,11 @@ requesting `wandb: True` falls back to an OFFLINE run directory in
 wandb's own layout — `<folder>/wandb/run-<name>/` with `config.json`,
 `history.jsonl` (one JSON object per log call, wandb's history file
 format) and a rolling `summary.json` — so every scalar the reference
-would have sent to the wandb service is captured locally and can be
-`wandb sync`'d from a connected machine later. When wandb IS
-importable, the real client is used. tensorboardX is the other sink.
+would have sent to the wandb service is captured locally for
+inspection or scripted import later (`wandb sync` itself needs the
+client's binary .wandb log, so the fallback is a local record, not a
+sync spool). When wandb IS importable, the real client is used.
+tensorboardX is the other sink.
 """
 
 from __future__ import annotations
@@ -25,9 +27,11 @@ class OfflineWandbRun:
     `wandb: True` is configured but the client is not importable.
 
     Mirrors the offline-run layout: history.jsonl is append-only with
-    `_step`/`_timestamp` fields per record (what `wandb sync` expects
-    from its own .wandb history), summary.json holds the latest value
-    per key, config.json the run config."""
+    `_step`/`_timestamp` fields per record, summary.json holds the
+    latest value per key, config.json the run config. The run dir is
+    locally inspectable/importable (e.g. `wandb.Api` CSV ingest or a
+    pandas read of history.jsonl); it is NOT a `wandb sync` target —
+    sync needs the client's binary .wandb transaction log."""
 
     def __init__(self, folder: str, name: Optional[str] = None,
                  config=None, project: str = 'InstaOrder'):
@@ -44,7 +48,15 @@ class OfflineWandbRun:
                 json.dump(config, f, indent=2, default=str)
 
     def log(self, data: dict, step: Optional[int] = None):
-        rec = {k: float(v) for k, v in data.items()}
+        # numbers stay numbers; anything the real client would accept
+        # as rich media/config (str, dict, ...) is JSON-stringified
+        # rather than raising (wandb.log allows mixed payloads)
+        rec = {}
+        for k, v in data.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = json.dumps(v, default=str)
         if step is not None:
             rec['_step'] = int(step)
         rec['_timestamp'] = time.time()

@@ -82,3 +82,19 @@ def test_step_lr_jnp_matches_host():
     traced = step_lr_jnp(1e-3, [32000, 48000], [0.1, 0.1])
     for s in [0, 100, 31999, 32000, 40000, 48000, 60000]:
         assert abs(float(traced(s)) - host(s)) < 1e-9, s
+
+
+def test_step_lr_jnp_emits_no_x64_warning():
+    """The schedule uses int32 throughout (86k-iter recipes fit): under
+    the no-x64 default an int64 request would emit a truncation
+    UserWarning on every trace (VERDICT r4 item 5)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        traced = step_lr_jnp(1e-3, [32000, 48000], [0.1, 0.1],
+                             [1e-5, 1e-4], [100, 200])
+        host = step_lr(1e-3, [32000, 48000], [0.1, 0.1],
+                       [1e-5, 1e-4], [100, 200])
+        for s in [0, 150, 250, 48000, 86000]:
+            assert abs(float(traced(s)) - host(s)) < 1e-9, s

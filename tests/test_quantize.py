@@ -272,6 +272,43 @@ def test_v2_down1_kernel_matches_xla_block(v2_net):
     np.testing.assert_array_equal(got_f.astype(np.int32), got)
 
 
+def test_v2_stage_fusion_empty_run_falls_back(v2_net):
+    """hwncs1d/hwncp with an iden_cin_cap that admits the Cin=64
+    projection but rejects the Cin=256 identity blocks leaves an empty
+    stage run — the path must fall back to the per-block down kernel
+    instead of a 0-block stage call (ADVICE r4 item 2: jnp.stack([])
+    crashed with an opaque error)."""
+    folded, cfg, qv2, xs = v2_net
+    from instaorder_tpu.ops import pallas_blocks
+
+    x = jnp.asarray(xs[1])
+    want = np.asarray(Q.apply_folded_v2(qv2, cfg, x, use_pallas=False))
+    names = ('fused_bottleneck_i8v2_hwnc',
+             'fused_bottleneck_i8v2_hwnc_stage',
+             'fused_bottleneck_i8v2_hwncp_stage',
+             'fused_bottleneck_down_i8v2_hwnc',
+             'fused_bottleneck_down_s2_i8v2_hwnc')
+    origs = {n: getattr(pallas_blocks, n) for n in names}
+    for n in names:
+        setattr(pallas_blocks, n,
+                (lambda o: lambda *a, **kw: o(*a, **dict(kw,
+                                                         interpret=True)))(
+                    origs[n]))
+    try:
+        got = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down2', 'hwncs1d'),
+            iden_cin_cap=64))
+        got_p = np.asarray(Q.apply_folded_v2(
+            qv2, cfg, x, use_pallas=('hwnc', 'down2', 'hwncp'),
+            iden_cin_cap=64))
+    finally:
+        for n in names:
+            setattr(pallas_blocks, n, origs[n])
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / scale < 0.02
+    assert np.abs(got_p - want).max() / scale < 0.02
+
+
 def test_v2_full_path_pallas_interpret_close_to_xla(v2_net):
     folded, cfg, qv2, xs = v2_net
     from instaorder_tpu.ops import pallas_blocks

@@ -131,6 +131,25 @@ def test_wandb_config_offline_fallback(fixture, tmp_path):
     assert os.path.exists(os.path.join(runs[0], 'config.json'))
 
 
+def test_offline_wandb_mixed_payload(tmp_path):
+    """OfflineWandbRun.log accepts what the real client accepts —
+    non-numeric values (strings, dicts) are JSON-stringified instead
+    of raising (ADVICE r4: float(v) raised TypeError on them)."""
+    import glob
+    import json
+
+    from instaorder_tpu.utils.telemetry import OfflineWandbRun
+
+    r = OfflineWandbRun(str(tmp_path), name='mix', config={'a': 1})
+    r.log({'loss': 2.0, 'note': 'hi', 'extra': {'k': [1, 2]}}, step=1)
+    r.finish()
+    run = glob.glob(str(tmp_path / 'wandb' / 'run-*'))[0]
+    rec = json.loads(open(os.path.join(run, 'history.jsonl')).read())
+    assert rec['loss'] == 2.0
+    assert json.loads(rec['note']) == 'hi'
+    assert json.loads(rec['extra']) == {'k': [1, 2]}
+
+
 def test_tester_runs_occ(fixture, tmp_path):
     from instaorder_tpu.eval.tester import Tester
 

@@ -10,10 +10,14 @@ import types
 import numpy as np
 
 
-def train_fixture_net(iters, n_devices=None, exp_name='delta'):
-    """Train InstaOrderNet_o (tiny resnet50, layers (1,1,1,1)) on the
-    synthetic fixture; returns (params, stats, cfg, reader, va_dir,
-    load_image) with the trained checkpoint loaded."""
+def train_fixture_net(iters, n_devices=None, exp_name='delta', seed=0,
+                      algo='InstaOrderNet_o', n_images=32, val_images=8):
+    """Train `algo` (tiny resnet50, layers (1,1,1,1)) on the synthetic
+    fixture; returns (params, stats, cfg, reader, va_dir, load_image)
+    with the trained checkpoint loaded. `seed` offsets BOTH the fixture
+    content seeds and the trainer seed so multi-seed studies
+    (study_directions.py) draw independent data + init streams;
+    seed=0 reproduces the original single-run tool bit-for-bit."""
     import jax
     from PIL import Image
     from instaorder_tpu.data.synthetic import make_instaorder_fixture
@@ -25,25 +29,32 @@ def train_fixture_net(iters, n_devices=None, exp_name='delta'):
 
     root = tempfile.mkdtemp()
     tr_insta, _, tr_dir = make_instaorder_fixture(
-        root + '/tr', n_images=32, n_instances=5, h=128, w=160, seed=1,
-        split='train2017')
+        root + '/tr', n_images=n_images, n_instances=5, h=128, w=160,
+        seed=1 + 100 * seed, split='train2017')
     va_insta, _, va_dir = make_instaorder_fixture(
-        root + '/va', n_images=8, n_instances=5, h=128, w=160, seed=2,
-        split='val2017')
+        root + '/va', n_images=val_images, n_instances=5, h=128, w=160,
+        seed=2 + 100 * seed, split='val2017')
 
+    num_classes = [2, 3] if algo == 'InstaOrderNet_od' else 2
     args = types.SimpleNamespace()
     args.model = {
-        'algo': 'InstaOrderNet_o', 'total_iter': iters,
+        'algo': algo, 'total_iter': iters,
         'lr_steps': [int(iters * 2 / 3)], 'lr_mults': [0.1],
         'lr': 2e-3, 'weight_decay': 1e-4, 'optim': 'SGD',
         'warmup_lr': [], 'warmup_steps': [],
         'backbone_arch': 'resnet50_cls',
-        'backbone_param': {'in_channels': 5, 'num_classes': 2,
+        'backbone_param': {'in_channels': 5, 'num_classes': num_classes,
                            'layers_override': [1, 1, 1, 1]},
         'use_rgb': True}
+    if algo == 'InstaOrderNet_od':
+        args.model['overlap_weight'] = 0.1
+        args.model['distinct_weight'] = 0.9
     args.data = {
         'dataset': 'InstaOrder',
-        'trainval_dataset': 'SupOcclusionOrderDataset',
+        'trainval_dataset': ('SupDepthOccOrderDataset'
+                             if algo == 'InstaOrderNet_od'
+                             else 'SupOcclusionOrderDataset'),
+        'remove_depth_overlap': 0,
         'train_image_root': tr_dir, 'train_annot_file': tr_insta,
         'val_image_root': va_dir, 'val_annot_file': va_insta,
         'input_size': 64, 'enlarge_box': 3.0,
@@ -57,7 +68,7 @@ def train_fixture_net(iters, n_devices=None, exp_name='delta'):
                     'val_iter': 2, 'print_freq': 100,
                     'save_freq': 10 ** 9, 'loss_record': ['loss'],
                     'exp_name': exp_name}
-    args.seed = 3
+    args.seed = 3 + seed
 
     trainer = Trainer(args, n_devices=n_devices, out_dir=root + '/out')
     trainer.train()
@@ -65,7 +76,7 @@ def train_fixture_net(iters, n_devices=None, exp_name='delta'):
 
     params, stats, cfg = resnet.init(
         jax.random.PRNGKey(0), arch='resnet50', in_channels=5,
-        num_classes=2, layers_override=(1, 1, 1, 1))
+        num_classes=num_classes, layers_override=(1, 1, 1, 1))
     _, params, stats, _ = ckpt_io.load_state(ckpt, params, stats)
 
     reader = R.InstaOrderReader(va_insta)
