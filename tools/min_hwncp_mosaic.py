@@ -79,6 +79,17 @@ def main():
         'l1-bt16-bands8': lambda: stage(N=16, batch_tile=16, bands=8),
         'l1-n360-bands8': lambda: stage(N=360, bands=8),
         'l1-n360-bands4': lambda: stage(N=360, bands=4),
+        # r5: grid isolation. r4 data: every pass is grid=1/B=8; fails
+        # are B=16 (grid=1) and N=360/B=8 (grid=45). These separate
+        # "grid>1" from "B>8" and re-test determinism of the failures.
+        'l1-n16-b8': lambda: stage(N=16, batch_tile=8, bands=8),
+        'l1-n24-b8': lambda: stage(N=24, batch_tile=8, bands=8),
+        'l1-n360-b8-rerun': lambda: stage(N=360, bands=8),
+        'l1-bt16-small': lambda: stage(N=16, batch_tile=16, bands=8,
+                                       H=16, W=16),
+        'l1-bt16-bands1': lambda: stage(N=16, batch_tile=16, bands=1),
+        'l1-bt16-nblocks1': lambda: stage(N=16, batch_tile=16, bands=8,
+                                          nblocks=1),
     }
     if args.list:
         print('\n'.join(CASES))
@@ -98,6 +109,12 @@ def main():
             msg = f'{type(e).__name__}: {e}'
             print(json.dumps({'case': name, 'ok': False,
                               'error': msg[:1500]}))
+            # full untruncated error (the Mosaic diagnostic sits past
+            # the libtpu init noise the 1500-char cut discards)
+            with open(os.path.join(REPO, 'tools', 'artifacts',
+                                   f'min_hwncp_err_{name}.txt'),
+                      'w') as fh:
+                fh.write(msg)
         sys.stdout.flush()
     if failed:
         print(f'FAIL: {failed}', file=sys.stderr)

@@ -51,6 +51,8 @@ CONFIGS = [
     # bitcasts; must be BIT-exact vs the same-kernels siamese run
     ('v2-dirpack', 'int8-siam',
      {'use_pallas': ('hwnc', 'down2', 'hwncs1d', 'dirpack')}),
+    ('v2-hwncp-dirpack', 'int8-siam',
+     {'use_pallas': ('hwnc', 'down2', 'hwncp', 'dirpack')}),
     ('v2-all', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2', 'stem'),
                         'conv2_mode': 'scatter'}),
     ('int8c-default', 'int8c', {}),
@@ -136,25 +138,31 @@ def main():
 
     oracle = {'int8': run('int8', use_pallas=False),
               'int8c': run('int8c', use_pallas=False)}
-    if sel is None or any(d == 'int8-siam' for n, d, _ in CONFIGS
-                          if n in sel):
-        # bitcast layout knobs must be BIT-exact vs the same-kernels
-        # siamese run (the XLA-vs-pallas oracle would hide a reorder
-        # bug behind the 1-LSB tie bar)
-        oracle['int8-siam'] = run(
-            'int8-siam', use_pallas=('hwnc', 'down2', 'hwncs1d'))
+    # bitcast layout knobs must be BIT-exact vs the SAME-KERNELS
+    # siamese run (the XLA-vs-pallas oracle would hide a reorder bug
+    # behind the 1-LSB tie bar): each int8-siam config's oracle is its
+    # own kwargs minus 'dirpack', cached per kernel mix
+    siam_oracles = {}
+
+    def siam_oracle(kw):
+        up = tuple(f for f in kw['use_pallas'] if f != 'dirpack')
+        if up not in siam_oracles:
+            siam_oracles[up] = run('int8-siam',
+                                   **dict(kw, use_pallas=up))
+        return siam_oracles[up]
 
     failures = []
     for name, dtype, kw in CONFIGS:
         if sel is not None and name not in sel:
             continue
         try:
+            ref = siam_oracle(kw) if dtype == 'int8-siam' \
+                else oracle[dtype]
             got = run(dtype, **kw)
         except Exception as e:  # noqa: BLE001 — report and continue
             print(json.dumps({'config': name, 'error': repr(e)[:4000]}))
             failures.append(name)
             continue
-        ref = oracle[dtype]
         delta = np.abs(got - ref)
         rel = float(delta.max() / (np.abs(ref).max() + 1e-9))
         dec_ref = (1 / (1 + np.exp(-ref))) > 0.5

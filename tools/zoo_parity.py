@@ -56,6 +56,37 @@ ZOO = {
 }
 
 
+def run_one(src, algo, exp, out_dir, test_num=-1, exp_root=None,
+            data_overrides=None, model_overrides=None):
+    """Convert one released checkpoint and run its experiment eval;
+    returns the Tester metrics dict. data_overrides/model_overrides
+    merge into the experiment config's .data/.model dicts so the smoke
+    test (tests/test_zoo_parity_smoke.py) can aim the identical wiring
+    at a synthetic fixture — the zoo run passes None and uses the
+    config verbatim."""
+    from instaorder_tpu.compat.convert_cli import convert
+    from instaorder_tpu.cli.config import load_config
+    from instaorder_tpu.eval.tester import Tester
+
+    exp_root = exp_root or os.path.join(os.path.dirname(__file__), '..',
+                                        'experiments')
+    os.makedirs(out_dir, exist_ok=True)
+    ck = os.path.join(out_dir,
+                      os.path.basename(src).replace('.pth.tar', '.ckpt'))
+    if not os.path.exists(ck):
+        convert(src, algo, ck)
+    cfg = load_config(os.path.join(exp_root, exp, 'config.yaml'))
+    cfg.load_model = ck
+    cfg.order_method = getattr(cfg, 'order_method', '') or ''
+    cfg.pairs = 'all'
+    cfg.zd = 0
+    cfg.disp_select_method = ''
+    cfg.data.update(data_overrides or {})
+    cfg.model.update(model_overrides or {})
+    tester = Tester(cfg, n_images=test_num)
+    return tester.run()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--zoo-dir', required=True)
@@ -67,10 +98,6 @@ def main():
     ap.add_argument('--out-dir', default='/tmp/zoo_parity')
     args = ap.parse_args()
 
-    from instaorder_tpu.compat.convert_cli import convert
-    from instaorder_tpu.cli.config import load_config
-    from instaorder_tpu.eval.tester import Tester
-
     expected = {}
     if args.expected:
         import yaml
@@ -78,8 +105,6 @@ def main():
             expected = yaml.safe_load(f) or {}
 
     only = set(args.only.split(',')) if args.only else None
-    exp_root = os.path.join(os.path.dirname(__file__), '..', 'experiments')
-    os.makedirs(args.out_dir, exist_ok=True)
     results, failures = {}, []
     for fn, (algo, exp) in ZOO.items():
         if only and algo not in only:
@@ -88,17 +113,8 @@ def main():
         if not os.path.exists(src):
             print(f'SKIP {fn}: not in --zoo-dir', file=sys.stderr)
             continue
-        ck = os.path.join(args.out_dir, fn.replace('.pth.tar', '.ckpt'))
-        if not os.path.exists(ck):
-            convert(src, algo, ck)
-        cfg = load_config(os.path.join(exp_root, exp, 'config.yaml'))
-        cfg.load_model = ck
-        cfg.order_method = getattr(cfg, 'order_method', '') or ''
-        cfg.pairs = 'all'
-        cfg.zd = 0
-        cfg.disp_select_method = ''
-        tester = Tester(cfg, n_images=args.test_num)
-        metrics = tester.run()
+        metrics = run_one(src, algo, exp, args.out_dir,
+                          test_num=args.test_num)
         results[f'{exp}'] = metrics
         want = expected.get(algo) or expected.get(exp) or {}
         for k, v in (want or {}).items():
