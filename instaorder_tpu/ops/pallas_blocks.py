@@ -1644,7 +1644,13 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
                               s=1 -> (0, wp+1), (1, wp+1), (0, wp+2)
       packed pair (du 0..3):  du=0 -> (1, wp); du=1 -> (0, wp+1);
                               du=2 -> (1, wp+1); du=3 -> (0, wp+2)
-      with w2pk[dy, du, c, s*Cm+co] = w2[dy, du-s, c, co] (0 outside)."""
+      with w2pk[dy, du, c, s*Cm+co] = w2[dy, du-s, c, co] (0 outside).
+
+    Band loops are `lax.fori_loop`s over dynamic `pl.ds` row slices, NOT
+    Python-unrolled: the unrolled form emitted bands x (2 + 4*nblocks)
+    slice/concat/matmul groups — a 47 MB MLIR payload at model scale
+    that the remote TPU compile helper could not ingest
+    (tools/artifacts/gate_r4_hwncp.log, min_hwncp.log)."""
     x_ref = refs[0]
     r_ref = refs[7 + 6 * nblocks]
     out_ref = refs[8 + 6 * nblocks]
@@ -1660,7 +1666,7 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
         if packed:
             cols = []
             for dy in range(3):
-                row = h1p_ref[y0 + dy:y0 + dy + rb]
+                row = h1p_ref[pl.ds(y0 + dy, rb)]
                 for cs, s in ((0, 1), (1, 0), (1, 1), (2, 0)):
                     cols.append(row[:, cs:cs + W2, s].reshape(
                         rb * W2 * B, Cm))
@@ -1669,7 +1675,7 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
         for s in range(2):
             cols = []
             for dy in range(3):
-                row = h1p_ref[y0 + dy:y0 + dy + rb]
+                row = h1p_ref[pl.ds(y0 + dy, rb)]
                 if s == 0:
                     sl = (row[:, 0:W2, 1], row[:, 1:W2 + 1, 0],
                           row[:, 1:W2 + 1, 1])
@@ -1681,26 +1687,31 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
                 rb, W2, B, 9 * Cm))
         return jnp.stack(a_s, axis=2).reshape(rb * W2 * 2 * B, 9 * Cm)
 
+    def bandloop(body):
+        jax.lax.fori_loop(0, bands, lambda t, c: (body(t * rb), c)[1],
+                          None)
+
     # ---- projection (layer1[0]): unpacked rows (y, wp, s, b) ----
     (w1_ref, b1_ref, w2f_ref, b2_ref, w3d_ref, b3d_ref) = refs[1:7]
     Cm = w1_ref.shape[1]
     cdt = w1_ref.dtype
     _zero_border_split(h1p_ref)
-    for t in range(bands):
-        y0 = t * rb
-        xb = x_ref[y0:y0 + rb].reshape(rb * W2 * 2 * B,
-                                       Cin_d).astype(cdt)
+
+    def proj_h1(y0):
+        xb = x_ref[pl.ds(y0, rb)].reshape(rb * W2 * 2 * B,
+                                          Cin_d).astype(cdt)
         h1 = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.float32)
         h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
-        h1p_ref[1 + y0:1 + y0 + rb, 1:W2 + 1] = h1.reshape(
+        h1p_ref[pl.ds(1 + y0, rb), 1:W2 + 1] = h1.reshape(
             rb, W2, 2, B, Cm)
-    for t in range(bands):
-        y0 = t * rb
+    bandloop(proj_h1)
+
+    def proj_rest(y0):
         acc = jnp.dot(conv2_slices(y0, packed=False), w2f_ref[:],
                       preferred_element_type=jnp.float32)
         h2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(cdt)
-        xb = x_ref[y0:y0 + rb].reshape(rb * W2 * 2 * B,
-                                       Cin_d).astype(cdt)
+        xb = x_ref[pl.ds(y0, rb)].reshape(rb * W2 * 2 * B,
+                                          Cin_d).astype(cdt)
         # conv3 + 1x1 projection as ONE K-packed matmul [h2 | x] @
         # [[w3], [wd]] (full 128-lane K already — packing would double
         # the MACs for nothing)
@@ -1708,8 +1719,9 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
                       preferred_element_type=jnp.float32)
         out = out + b3d_ref[:]
         q = jnp.clip(jnp.round(out), 0.0, 127.0)
-        act_ref[y0:y0 + rb] = q.astype(act_ref.dtype).reshape(
+        act_ref[pl.ds(y0, rb)] = q.astype(act_ref.dtype).reshape(
             rb, W2, 2, B, -1)
+    bandloop(proj_rest)
 
     # ---- identity run: lane-packed conv2/conv3 ----
     for k in range(nblocks):
@@ -1722,26 +1734,29 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
         Cact = src.shape[-1]
 
         _zero_border_split(h1p_ref)
-        for t in range(bands):
-            y0 = t * rb
-            xb = src[y0:y0 + rb].reshape(rb * W2 * 2 * B,
-                                         Cact).astype(cdt)
+
+        def iden_h1(y0, src=src, w1_ref=w1_ref, b1_ref=b1_ref,
+                    Cact=Cact, Cm=Cm, cdt=cdt):
+            xb = src[pl.ds(y0, rb)].reshape(rb * W2 * 2 * B,
+                                            Cact).astype(cdt)
             h1 = jnp.dot(xb, w1_ref[:],
                          preferred_element_type=jnp.float32)
             h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(cdt)
-            h1p_ref[1 + y0:1 + y0 + rb, 1:W2 + 1] = h1.reshape(
+            h1p_ref[pl.ds(1 + y0, rb), 1:W2 + 1] = h1.reshape(
                 rb, W2, 2, B, Cm)
+        bandloop(iden_h1)
 
         # packed conv2/conv3/residual/requant per band; the band's
         # residual read happens before its write, so act -> act is safe
-        for t in range(bands):
-            y0 = t * rb
+        def iden_rest(y0, k=k, src=src, dst=dst, w2pk_ref=w2pk_ref,
+                      b2pk_ref=b2pk_ref, w3pk_ref=w3pk_ref,
+                      b3pk_ref=b3pk_ref, Cact=Cact, cdt=cdt):
             acc = jnp.dot(conv2_slices(y0, packed=True), w2pk_ref[:],
                           preferred_element_type=jnp.float32)
             h2p = jnp.maximum(acc + b2pk_ref[:], 0.0).astype(cdt)
             outp = jnp.dot(h2p, w3pk_ref[:],
                            preferred_element_type=jnp.float32)
-            xr = src[y0:y0 + rb]
+            xr = src[pl.ds(y0, rb)]
             xpair = jnp.concatenate([xr[:, :, 0], xr[:, :, 1]],
                                     axis=-1).reshape(rb * W2 * B,
                                                      2 * Cact)
@@ -1749,8 +1764,9 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
                     + xpair.astype(jnp.float32) * r_ref[k, 0])
             q = jnp.clip(jnp.round(outp), 0.0, 127.0).astype(dst.dtype)
             q = q.reshape(rb, W2, B, 2 * Cact)
-            dst[y0:y0 + rb, :, 0] = q[..., :Cact]
-            dst[y0:y0 + rb, :, 1] = q[..., Cact:]
+            dst[pl.ds(y0, rb), :, 0] = q[..., :Cact]
+            dst[pl.ds(y0, rb), :, 1] = q[..., Cact:]
+        bandloop(iden_rest)
 
 
 @functools.partial(jax.jit,
