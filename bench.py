@@ -120,6 +120,11 @@ def main():
                          'pallas5 (all 5 channels in-kernel — the mask '
                          'nearest resize too, skipping its per-pair '
                          'gather/m1 HBM round trips)')
+    ap.add_argument('--stage-unroll', type=int, default=1,
+                    help='hwncp band-loop partial unroll: bands per '
+                         'fori_loop step (1 = fully loop-structured; '
+                         'larger trades MLIR size for cross-band '
+                         'instruction overlap)')
     ap.add_argument('--stem-chunks', type=int, default=None,
                     help='sequential chunks for the XLA stem (bounds the '
                          '(N,128,128,64) conv-output HBM liveness); '
@@ -229,13 +234,15 @@ def main():
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
                 bt_budget=bt_budget, band_budget=band_budget,
                 conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io,
-                pipeline=args.hwnc_pipeline)
+                pipeline=args.hwnc_pipeline,
+                stage_unroll=args.stage_unroll)
             apply_sia = functools.partial(
                 Q.apply_folded_v2_siamese, cfg=cfg, use_pallas=pallas,
                 stem_chunks=args.stem_chunks, iden_cin_cap=iden_cin_cap,
                 bt_budget=bt_budget, band_budget=band_budget,
                 conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io,
-                pipeline=args.hwnc_pipeline)
+                pipeline=args.hwnc_pipeline,
+                stage_unroll=args.stage_unroll)
         else:
             qparams = Q.quantize_folded_resnet(folded_f32, cfg, scales)
             for flag, val, dflt in (

@@ -351,7 +351,7 @@ def make_int8_predictor(params, stats, cfg, method, calib_batches,
 def make_v2_predictor(params, stats, cfg, method, calib_batches,
                       use_pallas=True, compute_dtype=None,
                       conv2_mode='im2col', hwnc_io='float',
-                      pipeline=False, **kw):
+                      pipeline=False, stage_unroll=1, **kw):
     """Boundary-int8 v2 OrderPredictor (models/quantize.py
     quantize_folded_v2): BN-fold, calibrate boundary scales on
     `calib_batches`, then serve with int8 HBM storage at block
@@ -372,12 +372,14 @@ def make_v2_predictor(params, stats, cfg, method, calib_batches,
     def apply_fn(p, s, c, x, train=False):
         return Q.apply_folded_v2(p, c, x, use_pallas=use_pallas,
                                  conv2_mode=conv2_mode, hwnc_io=hwnc_io,
-                                 pipeline=pipeline), s
+                                 pipeline=pipeline,
+                                 stage_unroll=stage_unroll), s
 
     def siamese_fn(p, s, c, x):
         return Q.apply_folded_v2_siamese(
             p, c, x, use_pallas=use_pallas, conv2_mode=conv2_mode,
-            hwnc_io=hwnc_io, pipeline=pipeline)
+            hwnc_io=hwnc_io, pipeline=pipeline,
+            stage_unroll=stage_unroll)
 
     return OrderPredictor(apply_fn, cfg, qp, stats, method,
                           siamese_fn=siamese_fn, **kw)

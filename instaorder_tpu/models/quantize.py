@@ -508,7 +508,7 @@ _HWNC_CIN_CAP = 2048
 def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                     bt_budget=None, band_budget=None,
                     conv2_mode='im2col', hwnc_io='float', pipeline=False,
-                    h8_hwnc=False):
+                    h8_hwnc=False, stage_unroll=1):
     """int8 stem output -> boundary-int8 trunk -> f32 head logits.
 
     hwnc_io: inter-pallas-kernel storage dtype — 'float' keeps the
@@ -647,12 +647,14 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
                     if 'hwncp' in feats:
                         h8 = _pb.fused_bottleneck_i8v2_hwncp_stage(
                             h8, *flat, rs, nblocks=len(run),
-                            bt_budget=bt_budget, out_int8=True)
+                            bt_budget=bt_budget, out_int8=True,
+                            band_budget=band_budget,
+                            unroll=stage_unroll)
                     else:
                         h8 = _pb.fused_bottleneck_i8v2_hwnc_stage(
                             h8, *flat, rs, nblocks=len(run), down=True,
                             bt_budget=bt_budget, out_int8=True,
-                            staging='act')
+                            staging='act', band_budget=band_budget)
                     k = j
                     continue
                 # no fusable identity blocks after the projection (a
@@ -771,19 +773,22 @@ def _apply_trunk_v2(q, cfg, h8, use_pallas=True, iden_cin_cap=None,
 
 def apply_folded_v2(q, cfg, x, use_pallas=True, stem_chunks=1,
                     iden_cin_cap=None, bt_budget=None, band_budget=None,
-                    conv2_mode='im2col', hwnc_io='float', pipeline=False):
+                    conv2_mode='im2col', hwnc_io='float', pipeline=False,
+                    stage_unroll=1):
     """Unquantized prep output -> boundary-int8 trunk -> f32 logits."""
     h8 = _stem_v2(q, x, chunks=stem_chunks, use_pallas=use_pallas)
     return _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                            iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
                            band_budget=band_budget, conv2_mode=conv2_mode,
-                           hwnc_io=hwnc_io, pipeline=pipeline)
+                           hwnc_io=hwnc_io, pipeline=pipeline,
+                           stage_unroll=stage_unroll)
 
 
 def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
                             iden_cin_cap=None, bt_budget=None,
                             band_budget=None, conv2_mode='im2col',
-                            hwnc_io='float', pipeline=False):
+                            hwnc_io='float', pipeline=False,
+                            stage_unroll=1):
     """Both swap directions via the folded-conv1 trick
     (models/folding.py:95-140): conv1(swap(x)) == conv1'(x) with input
     channel rows 0,1 exchanged."""
@@ -830,7 +835,8 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
                               bt_budget=bt_budget,
                               band_budget=band_budget,
                               conv2_mode=conv2_mode, hwnc_io=hwnc_io,
-                              pipeline=pipeline, h8_hwnc=True)
+                              pipeline=pipeline, h8_hwnc=True,
+                              stage_unroll=stage_unroll)
         if isinstance(out, tuple):
             outs = tuple(o.reshape(n + pad4, 2, *o.shape[1:])[:n]
                          for o in out)
@@ -842,7 +848,8 @@ def apply_folded_v2_siamese(q, cfg, x, use_pallas=True, stem_chunks=1,
     out = _apply_trunk_v2(q, cfg, h8, use_pallas=use_pallas,
                           iden_cin_cap=iden_cin_cap, bt_budget=bt_budget,
                           band_budget=band_budget, conv2_mode=conv2_mode,
-                          hwnc_io=hwnc_io, pipeline=pipeline)
+                          hwnc_io=hwnc_io, pipeline=pipeline,
+                          stage_unroll=stage_unroll)
     if isinstance(out, tuple):
         return tuple(o[:n] for o in out), tuple(o[n:] for o in out)
     return out[:n], out[n:]

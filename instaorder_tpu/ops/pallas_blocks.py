@@ -1522,11 +1522,12 @@ def _bottleneck_i8v2_hwnc_stage_kernel(*refs, bands, nblocks, staging,
 @functools.partial(jax.jit,
                    static_argnames=('nblocks', 'interpret', 'batch_tile',
                                     'bt_budget', 'out_int8', 'bands',
-                                    'staging', 'down'))
+                                    'staging', 'down', 'band_budget'))
 def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
                                      batch_tile=None, bt_budget=None,
                                      out_int8=True, bands=None,
-                                     staging='out', down=False):
+                                     staging='out', down=False,
+                                     band_budget=None):
     """Stage-fused v2 identity run on the (H, W, N, Cin) view: `nblocks`
     consecutive identity bottlenecks per pallas call. flat_wb is
     [down (w1, b1, w2, b2, w3, b3, wd, bd) if down] then
@@ -1572,8 +1573,9 @@ def fused_bottleneck_i8v2_hwnc_stage(x, *flat_wb, nblocks, interpret=False,
     B = batch_tile
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
     if bands is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
         per_row = W * B * (9 * Cm * 2 + Cact * 8)
-        rb = max(1, (6 * 1024 * 1024) // max(per_row, 1))
+        rb = max(1, bb // max(per_row, 1))
         while H % rb:
             rb -= 1
         bands = H // rb
@@ -1618,7 +1620,7 @@ def _zero_border_split(ref):
     ref[:, w2 - 1:w2] = zc
 
 
-def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
+def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks, unroll=1):
     """Layer1 stage (stride-1 projection + identity run) on the PARITY-
     SPLIT (H, W/2, 2, B, C) view — a pure reshape (bitcast) of the hwnc
     layout, so entering/leaving costs nothing, but horizontally adjacent
@@ -1688,8 +1690,17 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
         return jnp.stack(a_s, axis=2).reshape(rb * W2 * 2 * B, 9 * Cm)
 
     def bandloop(body):
-        jax.lax.fori_loop(0, bands, lambda t, c: (body(t * rb), c)[1],
-                          None)
+        # partial unroll: `unroll` band bodies per fori_loop step —
+        # recovers cross-band instruction overlap at code size
+        # ~proportional to `unroll` instead of `bands`
+        u = unroll
+        assert bands % u == 0, (bands, u)
+
+        def step(t, c):
+            for j in range(u):
+                body((t * u + j) * rb)
+            return c
+        jax.lax.fori_loop(0, bands // u, step, None)
 
     # ---- projection (layer1[0]): unpacked rows (y, wp, s, b) ----
     (w1_ref, b1_ref, w2f_ref, b2_ref, w3d_ref, b3d_ref) = refs[1:7]
@@ -1771,11 +1782,13 @@ def _bottleneck_i8v2_hwncp_stage_kernel(*refs, bands, nblocks):
 
 @functools.partial(jax.jit,
                    static_argnames=('nblocks', 'interpret', 'batch_tile',
-                                    'bt_budget', 'out_int8', 'bands'))
+                                    'bt_budget', 'out_int8', 'bands',
+                                    'band_budget', 'unroll'))
 def fused_bottleneck_i8v2_hwncp_stage(x, *flat_wb, nblocks,
                                       interpret=False, batch_tile=None,
                                       bt_budget=None, out_int8=True,
-                                      bands=None):
+                                      bands=None, band_budget=None,
+                                      unroll=1):
     """Parity-split lane-PACKED layer1 stage ('hwncp'): same contract
     and flat_wb layout as fused_bottleneck_i8v2_hwnc_stage(down=True,
     staging='act') — (w1, b1, w2, b2, w3, b3, wd, bd) projection then
@@ -1822,16 +1835,19 @@ def fused_bottleneck_i8v2_hwncp_stage(x, *flat_wb, nblocks,
     B = batch_tile
     assert N % B == 0 and (B % 8 == 0 or B == N), (N, B)
     if bands is None:
+        bb = 6 * 1024 * 1024 if band_budget is None else band_budget
         per_row = W * B * (9 * Cm * 2 + Cact * 8)
-        rb = max(1, (6 * 1024 * 1024) // max(per_row, 1))
+        rb = max(1, bb // max(per_row, 1))
         while H % rb:
             rb -= 1
         bands = H // rb
     assert H % bands == 0, (H, bands)
+    while bands % unroll:
+        unroll -= 1
 
     out = pl.pallas_call(
         functools.partial(_bottleneck_i8v2_hwncp_stage_kernel,
-                          bands=bands, nblocks=nblocks),
+                          bands=bands, nblocks=nblocks, unroll=unroll),
         grid=(N // B,),
         in_specs=[
             pl.BlockSpec((H, W2, 2, B, Cin), lambda i: (0, 0, 0, i, 0),
