@@ -63,7 +63,9 @@ class OrderPredictor:
 
     def __init__(self, apply_fn, cfg, params, stats, method,
                  patch_or_image='patch', input_size=256, use_rgb=True,
-                 mesh=None, directions=2, siamese_fn=None):
+                 mesh=None, directions=2, siamese_fn=None,
+                 prep_impl='einsum', prep_passes=3,
+                 prep_interpret=False, prep_dtype=None):
         """mesh: optional jax.sharding.Mesh — shards the 2P pair batch
         over the `data` axis so one image's pairs spread across chips
         (the "pair sharding" scale axis, SURVEY.md §5).
@@ -80,7 +82,18 @@ class OrderPredictor:
         materialising the channel-swapped copy of the (2P, sz, sz, 5)
         batch in HBM at directions=2. Used for the resnet_cls family
         (make_v2_predictor); other model families take the generic
-        swapped-concat path."""
+        swapped-concat path.
+
+        prep_impl: 'einsum' (default — cv2-exact cubic matmul prep) or
+        'pallas5' (patch mode only): the whole 5-channel pair prep as
+        ONE pallas kernel (ops/prep_pallas.fused_prep_pairs — masks
+        bit-exact, RGB up to rare 1-LSB uint8 rounding ties; a serving
+        knob, not the strict-parity path). prep_passes: 3 = serving
+        precision, 1 = the fast bf16 knob. prep_interpret runs the
+        kernel in interpret mode (CPU tests). prep_dtype: the fused
+        batch's storage dtype — defaults to f32 (any apply_fn accepts
+        it); pass jnp.bfloat16 with the quantized/folded serving
+        predictors to halve the (2P, sz, sz, 5) HBM tensor."""
         self.apply_fn = apply_fn
         self.cfg = cfg
         self.params = params
@@ -92,6 +105,26 @@ class OrderPredictor:
         self.mesh = mesh
         assert directions in (1, 2)
         self.directions = directions
+        assert prep_impl in ('einsum', 'pallas5')
+        if prep_impl == 'pallas5' and patch_or_image != 'patch':
+            raise ValueError("prep_impl='pallas5' supports patch mode "
+                             "only (image/resize/orig share one RGB "
+                             "crop across pairs — nothing to fuse)")
+        self.prep_impl = prep_impl
+        if prep_impl == 'pallas5':
+            from ..ops.pairs import build_pair_batches_fused, pair_rois
+
+            @jax.jit
+            def _prep5(image, masks, bboxes, pair_idx):
+                rois = pair_rois(bboxes, pair_idx)
+                return build_pair_batches_fused(
+                    image[None], masks[None], pair_idx, rois[None],
+                    out_size=input_size,
+                    dtype=prep_dtype or jnp.float32,
+                    passes=prep_passes, fuse_masks=True,
+                    interpret=prep_interpret)
+
+            self._prep5 = _prep5
         # 'orig' bucketing needs the forward to accept a static valid_hw
         # (resnet.apply does); other apply_fns fall back to per-size
         # compiles there
@@ -155,6 +188,8 @@ class OrderPredictor:
         """-> (x, valid_hw): the (P, h, w, 5) pair batch plus the static
         valid region for 'orig' bucket padding (None elsewhere)."""
         if self.patch_or_image == 'patch':
+            if self.prep_impl == 'pallas5':
+                return self._prep5(image, masks, bboxes, pair_idx), None
             return build_pair_batch(image, masks, bboxes, pair_idx,
                                     out_size=self.input_size,
                                     rgb_method='cubic'), None

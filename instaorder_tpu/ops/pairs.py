@@ -263,8 +263,20 @@ def build_pair_batches_fused(images, masks, pair_idx, rois, out_size=256,
     values as the vmapped build_pair_batch_matmul default: masks
     exact, RGB up to rare 1-LSB rounding ties
     (tests/test_prep_pallas.py). passes: 3 = serving precision (HIGH),
-    1 = the --prep-precision 'default' bf16 knob."""
+    1 = the --prep-precision 'default' bf16 knob.
+
+    Non-8-multiple image dims (real COCO sizes, e.g. 427-wide) are
+    zero-padded bottom/right to the kernels' 8-multiple precondition.
+    This is VALUE-exact vs the einsum path on the original size:
+    out-of-image taps contribute zero there (the crop's zero padding,
+    _interp_matrix), and a padded zero pixel times its kernel weight
+    is the same zero — test_prep_pallas5_non8_multiple_dims."""
     S, P = rois.shape[0], rois.shape[1]
+    H, W = images.shape[1], images.shape[2]
+    if H % 8 or W % 8:
+        ph, pw = (-H) % 8, (-W) % 8
+        images = jnp.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        masks = jnp.pad(masks, ((0, 0), (0, 0), (0, ph), (0, pw)))
     if fuse_masks:
         from .prep_pallas import fused_prep_pairs
         out5 = fused_prep_pairs(images, masks, pair_idx, rois,

@@ -345,3 +345,38 @@ def test_weight_permuted_siamese_matches_swapped_input():
     m1 = np.asarray(base.infer_occ_order(image, masks, bboxes))
     m2 = np.asarray(fold.infer_occ_order(image, masks, bboxes))
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_pallas5_prep_predictor_matches_einsum():
+    """OrderPredictor(prep_impl='pallas5'): the whole 5-channel pair
+    prep as one pallas kernel (serving knob). Masks must be bit-exact
+    vs the einsum predictor's batch and RGB within the documented
+    1-LSB tie bar — on a NON-8-multiple image (the wrapper's zero-pad
+    path), since that is what real COCO sizes hit."""
+    params, stats, cfg = resnet.init(
+        jax.random.PRNGKey(2), arch='resnet50', in_channels=5,
+        num_classes=2, layers_override=(1, 1, 1, 1))
+    image, masks, bboxes = scene(5, h=93, w=121)
+    kw = dict(patch_or_image='patch', input_size=64)
+    base = OrderPredictor(resnet.apply, cfg, params, stats,
+                          'InstaOrderNet_o', **kw)
+    fused = OrderPredictor(resnet.apply, cfg, params, stats,
+                           'InstaOrderNet_o', prep_impl='pallas5',
+                           prep_interpret=True, **kw)
+    pidx, _ = all_pair_indices(masks.shape[0])
+    args = (jnp.asarray(image, jnp.float32), jnp.asarray(masks),
+            jnp.asarray(bboxes, jnp.float32), jnp.asarray(pidx))
+    x_base, _ = base._build_batch(*args)
+    x_fused, _ = fused._build_batch(*args)
+    xb = np.asarray(x_base, np.float32)
+    xf = np.asarray(x_fused, np.float32)
+    np.testing.assert_array_equal(xf[..., :2], xb[..., :2])
+    # einsum path is f32 cv2-exact; fused is bf16 serving precision:
+    # bf16 cast (<=2^-8 rel) + rare 1-LSB rounding ties (<= one bf16
+    # grid step, 0.03125 on the normalized range)
+    d = np.abs(xf[..., 2:] - xb[..., 2:])
+    assert d.max() <= 0.03125 + 1e-6, d.max()
+    # and the decision surface agrees end-to-end on this fixture
+    np.testing.assert_array_equal(
+        fused.infer_occ_order(image, masks, bboxes),
+        base.infer_occ_order(image, masks, bboxes))

@@ -197,3 +197,26 @@ def test_prep_pallas_one_pass_knob():
     got = np.transpose(np.asarray(got, np.float32), (0, 2, 3, 1))
     want = _exact_rgb(image, rois, 64)
     assert np.abs(got - want).max() <= 4.0
+
+
+def test_prep_pallas5_non8_multiple_dims():
+    """Real COCO sizes are not 8-multiples (e.g. 427-wide). The
+    build_pair_batches_fused wrapper zero-pads the source to the
+    kernels' 8-multiple precondition — value-exact vs the einsum path
+    on the ORIGINAL size, because out-of-image taps contribute zero
+    there too (ops/pairs._interp_matrix's crop zero padding)."""
+    images, masks, pidx, rois = _scene_fixture(7, S=2, H=91, W=107)
+    S = images.shape[0]
+    want = np.concatenate([
+        np.asarray(P.build_pair_batch_matmul(
+            jnp.asarray(images[s]), jnp.asarray(masks[s]),
+            jnp.asarray(pidx), rois[s], out_size=64,
+            dtype=jnp.bfloat16), np.float32)
+        for s in range(S)], axis=0)
+    got = np.asarray(P.build_pair_batches_fused(
+        jnp.asarray(images), jnp.asarray(masks), jnp.asarray(pidx),
+        rois, out_size=64, fuse_masks=True, interpret=True), np.float32)
+    np.testing.assert_array_equal(got[..., :2], want[..., :2])
+    d = np.abs(got[..., 2:] - want[..., 2:])
+    assert d.max() <= 0.03125 + 1e-6, d.max()
+    assert (d > 0).mean() < 0.01

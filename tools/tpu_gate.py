@@ -47,6 +47,20 @@ CONFIGS = [
     ('v2-qpool', 'int8', {'use_pallas': ('hwnc', 'down1', 'down2',
                                          'hwncs1', 'qpool')}),
     ('v2-hwncp', 'int8', {'use_pallas': ('hwnc', 'down2', 'hwncp')}),
+    # tuned hwncp variants (r5 wave-3 sweep candidates): partial band
+    # unroll and band-budget heuristics change the kernel's loop
+    # structure, so each tuning point needs its own hardware gate
+    ('v2-hwncp-u4', 'int8',
+     {'use_pallas': ('hwnc', 'down2', 'hwncp'), 'stage_unroll': 4}),
+    ('v2-hwncp-dirpack-u4', 'int8-siam',
+     {'use_pallas': ('hwnc', 'down2', 'hwncp', 'dirpack'),
+      'stage_unroll': 4}),
+    ('v2-hwncp-dirpack-u4-bb12', 'int8-siam',
+     {'use_pallas': ('hwnc', 'down2', 'hwncp', 'dirpack'),
+      'stage_unroll': 4, 'band_budget': 12 * 1024 * 1024}),
+    ('v2-hwncp-dirpack-u2-bb24', 'int8-siam',
+     {'use_pallas': ('hwnc', 'down2', 'hwncp', 'dirpack'),
+      'stage_unroll': 2, 'band_budget': 24 * 1024 * 1024}),
     # siamese-only layout knob: direction axis -> interleaved batch via
     # bitcasts; must be BIT-exact vs the same-kernels siamese run
     ('v2-dirpack', 'int8-siam',
