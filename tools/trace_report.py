@@ -123,6 +123,14 @@ def build_megastep(args):
               if args.pallas_features else True)
 
     def prep_all(images, masks, bboxes):
+        if getattr(args, 'prep_rgb', 'einsum') == 'pallas5':
+            from instaorder_tpu.ops.pairs import build_pair_batches_fused
+            rois = jax.vmap(lambda b: pair_rois(b, pair_idx))(bboxes)
+            return build_pair_batches_fused(images, masks, pair_idx,
+                                            rois, out_size=256,
+                                            dtype=jnp.bfloat16,
+                                            fuse_masks=True)
+
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx)
             return build_pair_batch_matmul(im, m, pair_idx, rois,
@@ -140,6 +148,19 @@ def build_megastep(args):
         scales = Q.calibrate_folded_resnet(folded_f32, cfg, [calib])
         if args.dtype == 'int8':     # v2: boundary storage, bf16 compute
             qp = Q.quantize_folded_v2(folded_f32, cfg, scales)
+            if getattr(args, 'directions', 2) == 1:
+                fwd1 = lambda qp, x: Q.apply_folded_v2(
+                    qp, cfg, x, use_pallas=pallas, stem_chunks=1,
+                    conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io)
+
+                @jax.jit
+                def megastep(qp, images, masks, bboxes):
+                    x = prep_all(images, masks, bboxes)
+                    s1 = jax.nn.sigmoid(fwd1(qp, x))
+                    return (s1[:, 1] > .5, s1[:, 0] > .5)
+
+                return megastep, (qp, images, jnp.asarray(masks),
+                                  jnp.asarray(bboxes))
             sia = lambda qp, x: Q.apply_folded_v2_siamese(
                 qp, cfg, x, use_pallas=pallas, stem_chunks=1,
                 conv2_mode=args.hwnc_conv2, hwnc_io=args.hwnc_io)
@@ -212,6 +233,9 @@ def main():
     ap.add_argument('--hwnc-conv2', default='im2col',
                     choices=['im2col', 'acc', 'scatter', 'scatter16'])
     ap.add_argument('--hwnc-io', default='float', choices=['float', 's8'])
+    ap.add_argument('--prep-rgb', default='einsum',
+                    choices=['einsum', 'pallas5'])
+    ap.add_argument('--directions', type=int, default=2, choices=[1, 2])
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--out', default='/tmp/instaorder_trace')
     args = ap.parse_args()
