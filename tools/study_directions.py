@@ -158,6 +158,10 @@ def main():
     ap.add_argument('--bar', type=float, default=0.1,
                     help='admissibility bar on the F1-loss CI upper '
                          'bound (percentage points)')
+    ap.add_argument('--rows-dir', default=None,
+                    help='persist each seed row as <dir>/seed<k>.json '
+                         'and skip seeds whose row already exists, so '
+                         'a killed multi-hour run resumes for free')
     cli = ap.parse_args()
 
     if cli.cpu:
@@ -172,8 +176,22 @@ def main():
             'jax_compilation_cache_dir',
             os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))
 
-    rows = [eval_seed(s, cli.iters, cli.algo, cli.n_devices)
-            for s in range(cli.seeds)]
+    rows = []
+    for s in range(cli.seeds):
+        rowf = (os.path.join(cli.rows_dir, f'seed{s}.json')
+                if cli.rows_dir else None)
+        if rowf and os.path.exists(rowf):
+            with open(rowf) as f:
+                rows.append(json.load(f))
+            continue
+        row = eval_seed(s, cli.iters, cli.algo, cli.n_devices)
+        rows.append(row)
+        if rowf:
+            os.makedirs(cli.rows_dir, exist_ok=True)
+            with open(rowf, 'w') as f:
+                json.dump(row, f)
+            print(f'[seed {s}] delta_f1={row["delta_f1"]:+.4f} '
+                  f'-> {rowf}', file=sys.stderr)
 
     deltas = np.asarray([r['delta_f1'] for r in rows])  # d1 - d2
     n = deltas.size
