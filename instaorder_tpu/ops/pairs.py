@@ -246,12 +246,24 @@ def build_pair_batch_matmul(image, masks, pair_idx, rois, out_size=256,
                             rgb_out], axis=-1)
 
 
+# The fused prep kernels carry one 512-byte scalar-prefetch record per
+# pair (roi-derived window offsets + interp metadata) in SMEM, whose
+# budget is 1 MB on v5e: 3240 pairs asked for u8[1,658,880] and failed
+# AOT compile ("Allocation would exceed memory (size=1048576) ::
+# space=smem :: fused_prep_pairs"). 1620 pairs (829 KB) is the
+# hardware-proven serving size, so calls are chunked to that cap and
+# concatenated — the <=cap path traces exactly as before (cache-stable).
+_FUSED_PREP_PAIR_CAP = 1620
+
+
 @functools.partial(jax.jit,
                    static_argnames=('out_size', 'dtype', 'passes',
-                                    'fuse_masks', 'interpret'))
+                                    'fuse_masks', 'interpret',
+                                    'pairs_per_call'))
 def build_pair_batches_fused(images, masks, pair_idx, rois, out_size=256,
                              dtype=jnp.bfloat16, passes=3,
-                             fuse_masks=False, interpret=False):
+                             fuse_masks=False, interpret=False,
+                             pairs_per_call=_FUSED_PREP_PAIR_CAP):
     """Multi-scene pair prep with the RGB crop+resize as ONE pallas
     kernel (ops/prep_pallas.fused_prep_rgb: in-kernel interp matrices,
     VMEM-resident row-interp intermediate, windowed-K matmuls) + the
@@ -277,15 +289,42 @@ def build_pair_batches_fused(images, masks, pair_idx, rois, out_size=256,
         ph, pw = (-H) % 8, (-W) % 8
         images = jnp.pad(images, ((0, 0), (0, ph), (0, pw), (0, 0)))
         masks = jnp.pad(masks, ((0, 0), (0, 0), (0, ph), (0, pw)))
+    cap = max(1, pairs_per_call)
+
+    def _chunked(call, *scene_args):
+        """Run `call` under the per-call SMEM pair cap. scene_args are
+        the arrays with a leading scene axis (rois always last)."""
+        if S * P <= cap:
+            return call(*scene_args, pair_idx)
+        if P <= cap:                       # chunk whole scenes
+            sc = max(1, cap // P)
+            return jnp.concatenate(
+                [call(*(a[s0:s0 + sc] for a in scene_args), pair_idx)
+                 for s0 in range(0, S, sc)], axis=0)
+        # a single scene exceeds the cap: chunk the pair axis and
+        # reassemble scene-major (S, P, ...) order
+        outs = []
+        for p0 in range(0, P, cap):
+            o = call(*(a[:, p0:p0 + cap] if a is scene_args[-1] else a
+                       for a in scene_args), pair_idx[p0:p0 + cap])
+            outs.append(o.reshape(S, -1, *o.shape[1:]))
+        stacked = jnp.concatenate(outs, axis=1)
+        return stacked.reshape(S * P, *stacked.shape[2:])
+
     if fuse_masks:
         from .prep_pallas import fused_prep_pairs
-        out5 = fused_prep_pairs(images, masks, pair_idx, rois,
-                                out_size=out_size, out_dtype=dtype,
-                                passes=passes, interpret=interpret)
+        out5 = _chunked(
+            lambda im, mk, ro, pi: fused_prep_pairs(
+                im, mk, pi, ro, out_size=out_size, out_dtype=dtype,
+                passes=passes, interpret=interpret),
+            images, masks, rois)
         return jnp.transpose(out5, (0, 2, 3, 1))
     from .prep_pallas import fused_prep_rgb
-    rgb = fused_prep_rgb(images, rois, out_size=out_size, out_dtype=dtype,
-                         passes=passes, interpret=interpret)
+    rgb = _chunked(
+        lambda im, ro, pi: fused_prep_rgb(
+            im, ro, out_size=out_size, out_dtype=dtype,
+            passes=passes, interpret=interpret),
+        images, rois)
     rgb = jnp.transpose(rgb, (0, 2, 3, 1))
     m = jax.vmap(lambda mk, r: _mask_pair_batch(mk, pair_idx, r,
                                                 out_size))(masks, rois)

@@ -220,3 +220,29 @@ def test_prep_pallas5_non8_multiple_dims():
     d = np.abs(got[..., 2:] - want[..., 2:])
     assert d.max() <= 0.03125 + 1e-6, d.max()
     assert (d > 0).mean() < 0.01
+
+
+def test_prep_pallas_chunked_matches_unchunked():
+    """SMEM pair-cap chunking (ops/pairs._FUSED_PREP_PAIR_CAP): the
+    fused prep kernels carry a 512 B/pair scalar-prefetch record, so
+    >1620-pair calls are split and concatenated (3240 pairs exceeded
+    the 1 MB SMEM budget on hardware). Chunked output must be
+    BIT-identical to the single-call trace for both fused paths, in
+    both chunking regimes (whole scenes, and the pair axis within one
+    scene)."""
+    images, masks, pidx, rois = _scene_fixture(11, S=4, N=4)
+    args = (jnp.asarray(images), jnp.asarray(masks), jnp.asarray(pidx),
+            rois)
+    for fuse in (True, False):
+        want = np.asarray(P.build_pair_batches_fused(
+            *args, out_size=64, fuse_masks=fuse, interpret=True))
+        # scene chunking: 4 scenes x 6 pairs, cap 12 -> 2 calls
+        got_s = np.asarray(P.build_pair_batches_fused(
+            *args, out_size=64, fuse_masks=fuse, interpret=True,
+            pairs_per_call=12))
+        # pair-axis chunking: cap 4 < P=6 -> per-scene pair splits
+        got_p = np.asarray(P.build_pair_batches_fused(
+            *args, out_size=64, fuse_masks=fuse, interpret=True,
+            pairs_per_call=4))
+        np.testing.assert_array_equal(got_s, want)
+        np.testing.assert_array_equal(got_p, want)
