@@ -29,21 +29,39 @@ import numpy as np
 
 PROFILES = {
     # the three numbers that matter, one flag each (README "Bench
-    # profiles"). Explicit --dtype/--directions still win.
-    'parity': {'dtype': 'bf16', 'directions': 2},
-    'serving-d2': {'dtype': 'int8', 'directions': 2},
-    'serving-d1': {'dtype': 'int8', 'directions': 1},
+    # profiles"). Explicit --dtype/--directions/--prep-rgb/
+    # --prep-precision still win.
+    # parity: the reference-behavior config — bf16 swap ensemble with
+    #   the cv2-exact einsum prep at serving (3-pass) precision.
+    # serving-d2: the adopted d2 default (r5: pallas5 fused prep,
+    #   +6.1% 4/4 interleaved; prep stays 3-pass — pp1 was only
+    #   hardware-A/B'd at d1).
+    # serving-d1: the single-direction serving config that crossed the
+    #   10k bar (r5: 10,451 / 10,446 pairs/s/chip = pallas5 + 1-pass
+    #   RGB) — the bench DEFAULT since the r5 admissibility study
+    #   (5 seeds x 32 scenes, pooled per-scene bootstrap: F1-loss CI95
+    #   upper bound < 0, i.e. no measurable loss; PERFORMANCE.md r5
+    #   wave 5 + decision gates in wave 4).
+    'parity': {'dtype': 'bf16', 'directions': 2, 'prep_rgb': 'einsum',
+               'prep_precision': 'high'},
+    'serving-d2': {'dtype': 'int8', 'directions': 2,
+                   'prep_precision': 'high'},
+    'serving-d1': {'dtype': 'int8', 'directions': 1,
+                   'prep_precision': 'default'},
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--profile', default=None, choices=sorted(PROFILES),
+    ap.add_argument('--profile', default='serving-d1',
+                    choices=sorted(PROFILES),
                     help='preset: parity (bf16 swap-ensemble, the '
                          'reference-behavior config), serving-d2 (int8 '
-                         'storage serving default), serving-d1 (single-'
-                         'direction serving knob). Sets --dtype/'
-                         '--directions unless given explicitly.')
+                         'storage, both-direction ensemble), serving-d1 '
+                         '(single-direction serving DEFAULT — '
+                         'admissibility study in PERFORMANCE.md r5 '
+                         'wave 5). Sets --dtype/--directions unless '
+                         'given explicitly.')
     # 1620 beat 1080 in 6/6 interleaved A/Bs across three kernel states
     # (r4c: 5,101/5,094 vs 5,063; r4f: 5,429.9/5,425.1 vs 5,384.4 —
     # PERFORMANCE.md r4f/r4h); deeper pair batching amortises the fixed
@@ -104,13 +122,13 @@ def main():
                     help='storage dtype of the prep row-interp '
                          'intermediate (bf16 halves ~800MB of HBM '
                          'traffic; 1-LSB pixel deviations possible)')
-    ap.add_argument('--prep-precision', default='high',
+    ap.add_argument('--prep-precision', default=None,
                     choices=['high', 'default', 'highest'],
                     help='matmul precision of the prep RGB resize '
                          '(high = bf16_3x, ~f32-accurate under the '
                          'uint8 round; default = 1-pass bf16, a pure '
                          'serving knob — pixel rounds can deviate)')
-    ap.add_argument('--prep-rgb', default='einsum',
+    ap.add_argument('--prep-rgb', default=None,
                     choices=['einsum', 'pallas', 'pallas5'],
                     help='RGB crop+resize impl: einsum (two batched '
                          'interp matmuls), pallas (one fused RGB kernel: '
@@ -135,6 +153,13 @@ def main():
         args.dtype = preset.get('dtype', 'int8')
     if args.directions is None:
         args.directions = preset.get('directions', 2)
+    if args.prep_rgb is None:
+        # pallas5 fused 5-channel prep is the serving default (r5:
+        # +6.1%, 4/4 interleaved; masks bit-exact, RGB at the 1-LSB
+        # uint8 tie bar) — the parity profile pins the cv2-exact einsum
+        args.prep_rgb = preset.get('prep_rgb', 'pallas5')
+    if args.prep_precision is None:
+        args.prep_precision = preset.get('prep_precision', 'high')
 
     import jax
     jax.config.update('jax_compilation_cache_dir',
