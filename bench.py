@@ -51,7 +51,29 @@ PROFILES = {
 }
 
 
-def main():
+def resolve_profile(args):
+    """Fill unset profile-covered flags from PROFILES[args.profile].
+
+    Pure flag logic (no jax import) so tests can pin the shipped
+    default: plain `python bench.py` must resolve to the serving-d1
+    config that crossed the 10k bar (PERFORMANCE.md r5 waves 4-5).
+    """
+    preset = PROFILES.get(args.profile, {})
+    if args.dtype is None:
+        args.dtype = preset.get('dtype', 'int8')
+    if args.directions is None:
+        args.directions = preset.get('directions', 2)
+    if args.prep_rgb is None:
+        # pallas5 fused 5-channel prep is the serving default (r5:
+        # +6.1%, 4/4 interleaved; masks bit-exact, RGB at the 1-LSB
+        # uint8 tie bar) — the parity profile pins the cv2-exact einsum
+        args.prep_rgb = preset.get('prep_rgb', 'pallas5')
+    if args.prep_precision is None:
+        args.prep_precision = preset.get('prep_precision', 'high')
+    return args
+
+
+def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument('--profile', default='serving-d1',
                     choices=sorted(PROFILES),
@@ -147,19 +169,11 @@ def main():
                     help='sequential chunks for the XLA stem (bounds the '
                          '(N,128,128,64) conv-output HBM liveness); '
                          'default 1 for bf16/f32, 4 for int8')
-    args = ap.parse_args()
-    preset = PROFILES.get(args.profile, {})
-    if args.dtype is None:
-        args.dtype = preset.get('dtype', 'int8')
-    if args.directions is None:
-        args.directions = preset.get('directions', 2)
-    if args.prep_rgb is None:
-        # pallas5 fused 5-channel prep is the serving default (r5:
-        # +6.1%, 4/4 interleaved; masks bit-exact, RGB at the 1-LSB
-        # uint8 tie bar) — the parity profile pins the cv2-exact einsum
-        args.prep_rgb = preset.get('prep_rgb', 'pallas5')
-    if args.prep_precision is None:
-        args.prep_precision = preset.get('prep_precision', 'high')
+    return ap
+
+
+def main():
+    args = resolve_profile(build_parser().parse_args())
 
     import jax
     jax.config.update('jax_compilation_cache_dir',

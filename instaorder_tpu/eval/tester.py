@@ -40,6 +40,10 @@ def expand_bbox(bboxes, enlarge_box=3.0):
 
 
 class Tester:
+    # not a pytest test class despite the name (pytest would otherwise
+    # warn it can't collect a class with an __init__)
+    __test__ = False
+
     def __init__(self, args, logger=None, n_images=-1):
         """args: config namespace with .model/.data/.trainer + attributes
         order_method, pairs ('all'|'nbor'), zd, load_model,
