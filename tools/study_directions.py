@@ -258,6 +258,28 @@ def main():
         hw = t95(n - 1) * sw / np.sqrt(n) if n > 1 else float('nan')
         agg['delta_whdr_mean'] = round(mw, 4)
         agg['delta_whdr_ci95'] = [round(mw - hw, 4), round(mw + hw, 4)]
+        # pooled per-scene WHDR bootstrap, same resampling unit as F1
+        # (scenes with no valid depth pairs carry NaN — dropped pairwise)
+        wsc = np.asarray([s for r in rows
+                          for s in r.get('scene_whdr', [])],
+                         dtype=np.float64)
+        wsc = wsc[~np.isnan(wsc).any(axis=1)] if wsc.size else wsc
+        if wsc.size:
+            dws = wsc[:, 0] - wsc[:, 1]            # d1 - d2 (lower=better)
+            rng = np.random.RandomState(0)
+            m = dws.size
+            boots = np.asarray([dws[rng.randint(0, m, m)].mean()
+                                for _ in range(10000)])
+            lo, hi = (float(np.percentile(boots, q)) for q in (2.5, 97.5))
+            agg['pooled_whdr'] = {
+                'n_scenes': int(m),
+                'delta_whdr_mean': round(float(dws.mean()), 4),
+                'delta_whdr_ci95_bootstrap': [round(lo, 4),
+                                              round(hi, 4)],
+                # WHDR is an error rate: the LOSS upper bound is the
+                # CI's upper end (positive = d1 worse)
+                'whdr_loss_ci95_upper': round(hi, 4),
+            }
     doc = {'aggregate': agg, 'per_seed': rows}
     txt = json.dumps(doc, indent=1)
     print(txt)
