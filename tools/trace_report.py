@@ -126,10 +126,11 @@ def build_megastep(args):
         if getattr(args, 'prep_rgb', 'einsum') == 'pallas5':
             from instaorder_tpu.ops.pairs import build_pair_batches_fused
             rois = jax.vmap(lambda b: pair_rois(b, pair_idx))(bboxes)
-            return build_pair_batches_fused(images, masks, pair_idx,
-                                            rois, out_size=256,
-                                            dtype=jnp.bfloat16,
-                                            fuse_masks=True)
+            return build_pair_batches_fused(
+                images, masks, pair_idx, rois, out_size=256,
+                dtype=jnp.bfloat16, fuse_masks=True,
+                passes=(1 if getattr(args, 'prep_precision', 'high')
+                        == 'default' else 3))
 
         def prep(im, m, b):
             rois = pair_rois(b, pair_idx)
@@ -235,6 +236,8 @@ def main():
     ap.add_argument('--hwnc-io', default='float', choices=['float', 's8'])
     ap.add_argument('--prep-rgb', default='einsum',
                     choices=['einsum', 'pallas5'])
+    ap.add_argument('--prep-precision', default='high',
+                    choices=['high', 'default'])
     ap.add_argument('--directions', type=int, default=2, choices=[1, 2])
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--out', default='/tmp/instaorder_trace')
